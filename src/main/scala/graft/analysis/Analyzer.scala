@@ -1,0 +1,140 @@
+package graft.analysis
+
+/** Analysis chains, re-expressed as pure `Iterator[Token]` transforms so
+  * they compose inside Spark `mapPartitions` with zero per-row UDF overhead
+  * (SURVEY.md §2.8, §2.11).
+  *
+  * Semantics pinned to the reference:
+  *  - StandardFilter: strip trailing 's from APOSTROPHE tokens, strip dots
+  *    from ACRONYM tokens (/root/reference/src/core/analysis/standard/StandardFilter.cpp:43-68)
+  *  - LowerCaseFilter: per-code-unit lowercase
+  *    (/root/reference/src/core/analysis/LowerCaseFilter.cpp:21-28, CharFolder)
+  *  - StopFilter: drop the 33 English stop words, accumulating skipped
+  *    position increments (/root/reference/src/core/analysis/StopFilter.cpp:36-50,
+  *    list /root/reference/src/core/analysis/StopAnalyzer.cpp:17-22)
+  */
+object Filters {
+
+  /** The reference's ENGLISH_STOP_WORDS_SET (StopAnalyzer.cpp:17-22). */
+  val EnglishStopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by",
+    "for", "if", "in", "into", "is", "it", "no", "not", "of",
+    "on", "or", "such", "that", "the", "their", "then", "there",
+    "these", "they", "this", "to", "was", "will", "with")
+
+  def standardFilter(in: Iterator[Token]): Iterator[Token] = in.map { t =>
+    if (t.tpe == TokenType.APOSTROPHE && t.term.length >= 2 && {
+      val tail = t.term.substring(t.term.length - 2)
+      tail == "'s" || tail == "'S"
+    }) t.copy(term = t.term.substring(0, t.term.length - 2))
+    else if (t.tpe == TokenType.ACRONYM) t.copy(term = t.term.replace(".", ""))
+    else t
+  }
+
+  def lowerCaseFilter(in: Iterator[Token]): Iterator[Token] = in.map { t =>
+    var changed = false
+    val arr = t.term.toCharArray
+    var i = 0
+    while (i < arr.length) {
+      val lo = Character.toLowerCase(arr(i))
+      if (lo != arr(i)) { arr(i) = lo; changed = true }
+      i += 1
+    }
+    if (changed) t.copy(term = new String(arr)) else t
+  }
+
+  def stopFilter(stop: Set[String])(in: Iterator[Token]): Iterator[Token] =
+    new Iterator[Token] {
+      private var pending = 0
+      private var nextTok: Token = null
+      advance()
+      private def advance(): Unit = {
+        nextTok = null
+        while (nextTok == null && in.hasNext) {
+          val t = in.next()
+          if (stop.contains(t.term)) pending += t.posIncr
+          else { nextTok = t.copy(posIncr = t.posIncr + pending); pending = 0 }
+        }
+      }
+      override def hasNext: Boolean = nextTok != null
+      override def next(): Token = { val t = nextTok; advance(); t }
+    }
+}
+
+/** An analyzer turns raw text into a token stream. Serializable so an
+  * instance can be closed over by Spark tasks. */
+trait Analyzer extends Serializable {
+  def analyze(text: String): Iterator[Token]
+  /** Analyzer identity recorded in segment metadata, so queries are
+    * analyzed with the same chain the index was built with. */
+  def name: String
+}
+
+/** StandardTokenizer → StandardFilter → LowerCaseFilter → StopFilter,
+  * max token length 255 (/root/reference/src/core/analysis/standard/StandardAnalyzer.cpp:20,49-56). */
+final case class StandardAnalyzer(
+    stopWords: Set[String] = Filters.EnglishStopWords,
+    maxTokenLength: Int = 255) extends Analyzer {
+  override def analyze(text: String): Iterator[Token] =
+    Filters.stopFilter(stopWords)(
+      Filters.lowerCaseFilter(
+        Filters.standardFilter(
+          ClassicScanner.tokenize(text, maxTokenLength))))
+  override def name: String = "standard"
+}
+
+/** Split on whitespace, no lowercasing
+  * (/root/reference/src/core/analysis/WhitespaceTokenizer.cpp). */
+case object WhitespaceAnalyzer extends Analyzer {
+  override def analyze(text: String): Iterator[Token] = new Iterator[Token] {
+    private var i = 0
+    private var nextTok: Token = null
+    advance()
+    private def advance(): Unit = {
+      nextTok = null
+      val n = text.length
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+        nextTok = Token(text.substring(start, i), 1, start, i, TokenType.ALPHANUM)
+      }
+    }
+    override def hasNext: Boolean = nextTok != null
+    override def next(): Token = { val t = nextTok; advance(); t }
+  }
+  override def name: String = "whitespace"
+}
+
+/** Maximal letter runs, lowercased (LetterTokenizer + LowerCaseFilter —
+  * /root/reference/src/core/analysis/SimpleAnalyzer.cpp). */
+case object SimpleAnalyzer extends Analyzer {
+  override def analyze(text: String): Iterator[Token] = new Iterator[Token] {
+    private var i = 0
+    private var nextTok: Token = null
+    advance()
+    private def advance(): Unit = {
+      nextTok = null
+      val n = text.length
+      while (i < n && !Character.isLetter(text.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && Character.isLetter(text.charAt(i))) i += 1
+        nextTok = Token(text.substring(start, i).toLowerCase, 1, start, i, TokenType.ALPHANUM)
+      }
+    }
+    override def hasNext: Boolean = nextTok != null
+    override def next(): Token = { val t = nextTok; advance(); t }
+  }
+  override def name: String = "simple"
+}
+
+object Analyzer {
+  /** Resolve an analyzer by the name stored in index metadata. */
+  def byName(name: String): Analyzer = name match {
+    case "standard" => StandardAnalyzer()
+    case "whitespace" => WhitespaceAnalyzer
+    case "simple" => SimpleAnalyzer
+    case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
+  }
+}

@@ -1,0 +1,197 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.analysis.Analyzer
+
+/** One shuffled row of the build: either a posting (term, docId, freq,
+  * positions) or — when `term` is the empty-string sentinel, which sorts
+  * before every real term — a doc-length row carrying `dl`. Folding norms
+  * into the postings shuffle means ONE wide shuffle total. */
+final case class PostingRow(
+    segId: Int,
+    term: String,
+    docId: Long,
+    freq: Int,
+    positions: Array[Int],
+    dl: Int)
+
+final case class IndexConfig(
+    indexDir: String,
+    analyzer: String = "standard",
+    /** Segment = contiguous docId range; bounds per-task memory and is the
+      * unit of parallel search AND of resume. At 10^12 docs you'd run ~1M
+      * docs/segment over thousands of executors; tests shrink it. */
+    docsPerSegment: Int = 1 << 20,
+    storePositions: Boolean = true,
+    /** Shuffle partitions for the postings sort; 0 → one per segment. */
+    buildPartitions: Int = 0,
+    /** Also persist a (docId, url) map table next to the index. */
+    writeDocMap: Boolean = true)
+
+final case class BuildReport(
+    numDocs: Long,
+    numSegments: Int,
+    builtSegments: Int,
+    resumedSegments: Int,
+    meta: IndexMeta)
+
+/** Distributed inverted-index build (SURVEY.md §7).
+  *
+  * Shape of the job — designed for 10^12 docs / 1000 executors:
+  *
+  *  1. global sort by `url` + zipWithIndex → dense deterministic docIDs.
+  *     Rank-identical output across cluster sizes requires ids that do not
+  *     depend on partitioning; a total order + rank is the only assignment
+  *     with that property (SURVEY.md §7.4-2). This is the one place we drop
+  *     to the RDD API — zipWithIndex's per-partition count + exclusive scan
+  *     has no Dataset equivalent.
+  *  2. resume filter: docId ranges whose segment already has a committed
+  *     meta on disk are skipped BEFORE tokenization (anti-join on segId
+  *     against the lineage — north rule resumability).
+  *  3. tokenize in `mapPartitions` (per-doc hash-agg of term freqs: tf
+  *     needs no shuffle — SURVEY.md §2.4), emitting posting rows keyed by
+  *     segId = docId / docsPerSegment.
+  *  4. ONE shuffle: `repartition($"segId")` + `sortWithinPartitions(segId,
+  *     term, docId)`. Partitioning by doc-range (not term!) is the skew
+  *     story: every segment gets ~docsPerSegment docs' worth of postings
+  *     regardless of term distribution, so stop-word-class terms cannot
+  *     skew a reducer (the "salted groupBy" of the north rule, with the
+  *     doc-range bucket as the salt — SURVEY.md §4.4); Spark's sort-based
+  *     shuffle spills, so per-task memory stays bounded.
+  *  5. stream each sorted run into a SegmentWriter; atomic per-segment
+  *     publish = per-partition lineage commit; driver snapshot at the end.
+  */
+object IndexBuilder {
+
+  def segIdOf(docId: Long, docsPerSegment: Int): Int = (docId / docsPerSegment).toInt
+
+  /** corpus must have `url` and `text` string columns. */
+  def build(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig): BuildReport = {
+    import spark.implicits._
+    new java.io.File(cfg.indexDir).mkdirs()
+
+    val analyzer = Analyzer.byName(cfg.analyzer)
+    val committed = IndexMetaIO.committedSegments(cfg.indexDir)
+      .filter(m => m.analyzer == cfg.analyzer && m.hasPositions == cfg.storePositions)
+    val committedIds = committed.map(_.segId).toSet
+
+    // (1) deterministic dense docIDs: global url order → rank
+    val sorted = corpus.select($"url", $"text").as[(String, String)]
+      .orderBy($"url")
+      .rdd
+      .zipWithIndex()
+      .map { case ((url, text), id) => (id, url, text) }
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+
+    try {
+      val numDocs = sorted.count()
+      val dps = cfg.docsPerSegment
+      val numSegments = math.max(1, ((numDocs + dps - 1) / dps).toInt)
+
+      if (cfg.writeDocMap) {
+        val docMapPath = new java.io.File(cfg.indexDir, "docmap").getPath
+        if (!new java.io.File(docMapPath, "_SUCCESS").exists()) {
+          sorted.map { case (id, url, _) => (id, url) }
+            .toDF("docId", "url")
+            .write.mode("overwrite").parquet(docMapPath)
+        }
+      }
+
+      // (2) resume: skip committed doc-ranges before any tokenize work
+      val todo = sorted.filter { case (id, _, _) => !committedIds.contains(segIdOf(id, dps)) }
+
+      // (3) tokenize; per-doc tf aggregation in memory (one doc at a time)
+      val posStore = cfg.storePositions
+      val rows = todo.mapPartitions { docs =>
+        docs.flatMap { case (docId, _, text) =>
+          val segId = segIdOf(docId, dps)
+          tokenizeDoc(analyzer, segId, docId, text, posStore)
+        }
+      }.toDS()
+
+      // (4) one doc-range-partitioned shuffle with a total sort order
+      val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions else numSegments
+      val sortedRows = rows
+        .repartition(parts, $"segId")
+        .sortWithinPartitions($"segId", $"term", $"docId")
+
+      // (5) streaming segment writers; task-atomic publish
+      val indexDir = cfg.indexDir
+      val analyzerName = cfg.analyzer
+      val totalDocs = numDocs
+      val metas = sortedRows.mapPartitions { it =>
+        writePartitionSegments(it, indexDir, analyzerName, dps, totalDocs, posStore)
+      }.collect().toSeq
+
+      val allSegs = (committed ++ metas).sortBy(_.segId)
+      val meta = IndexMeta(cfg.analyzer,
+        allSegs.map(_.docCount.toLong).sum,
+        allSegs.map(_.sumDocLength).sum,
+        cfg.storePositions,
+        allSegs)
+      IndexMetaIO.writeCommit(cfg.indexDir, meta)
+      BuildReport(numDocs, numSegments, metas.size, committed.size, meta)
+    } finally sorted.unpersist()
+  }
+
+  /** Analyze one doc into posting rows + the doc-length sentinel row.
+    * Position counter follows the reference: starts at -1, advances by each
+    * token's positionIncrement (DocInverterPerField.cpp:119-176); doc length
+    * counts emitted tokens only (FieldInvertState length semantics). */
+  def tokenizeDoc(analyzer: Analyzer, segId: Int, docId: Long, text: String,
+      storePositions: Boolean): Iterator[PostingRow] = {
+    val tf = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    var pos = -1
+    var length = 0
+    val toks = analyzer.analyze(if (text == null) "" else text)
+    while (toks.hasNext) {
+      val t = toks.next()
+      pos += t.posIncr
+      length += 1
+      var buf = tf.get(t.term)
+      if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Int](4); tf.put(t.term, buf) }
+      buf += pos
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[PostingRow](tf.size + 1)
+    out += PostingRow(segId, "", docId, 0, Array.emptyIntArray, length)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val positions = if (storePositions) e.getValue.toArray else Array.emptyIntArray
+      out += PostingRow(segId, e.getKey, docId, e.getValue.size, positions, 0)
+    }
+    out.iterator
+  }
+
+  /** Consume one sorted partition, writing a segment per segId run. */
+  private def writePartitionSegments(
+      it: Iterator[PostingRow],
+      indexDir: String,
+      analyzerName: String,
+      docsPerSegment: Int,
+      numDocs: Long,
+      storePositions: Boolean): Iterator[SegmentMeta] = {
+    val metas = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+    var writer: SegmentWriter = null
+    var curSeg = -1
+    var docBase = 0L
+    while (it.hasNext) {
+      val r = it.next()
+      if (r.segId != curSeg) {
+        if (writer != null) metas += writer.finish()
+        curSeg = r.segId
+        docBase = curSeg.toLong * docsPerSegment
+        val docCount = math.min(docsPerSegment.toLong, numDocs - docBase).toInt
+        writer = new SegmentWriter(indexDir, curSeg, docBase, docCount,
+          analyzerName, storePositions)
+      }
+      val localDoc = (r.docId - docBase).toInt
+      if (r.term.isEmpty) writer.addDocLength(localDoc, r.dl)
+      else writer.addPosting(r.term, localDoc, r.freq, r.positions)
+    }
+    if (writer != null) metas += writer.finish()
+    metas.iterator
+  }
+}

@@ -1,0 +1,63 @@
+package graft.index
+
+import graft.analysis.Analyzer
+import graft.score.Similarity
+import graft.search.{Query, ScoredDoc, SegmentSearch}
+
+/** Single-process build/search over the same segment format — used by unit
+  * tests (fast, no SparkSession) and as the 1-partition baseline that the
+  * distributed build must byte-match (MultiSearcherRankingTest pattern,
+  * SURVEY.md §5.1). */
+object LocalIndex {
+
+  /** docs = (docId, text) with dense ids 0..n-1 in order. */
+  def build(indexDir: String, docs: Seq[(Long, String)], analyzerName: String,
+      docsPerSegment: Int = Int.MaxValue, storePositions: Boolean = true): IndexMeta = {
+    new java.io.File(indexDir).mkdirs()
+    val analyzer = Analyzer.byName(analyzerName)
+    val numDocs = docs.size.toLong
+    val rows = docs.iterator.flatMap { case (id, text) =>
+      IndexBuilder.tokenizeDoc(analyzer, IndexBuilder.segIdOf(id, docsPerSegment),
+        id, text, storePositions)
+    }.toVector.sortBy(r => (r.segId, r.term, r.docId))
+
+    val metas = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+    var writer: SegmentWriter = null
+    var curSeg = -1
+    var docBase = 0L
+    rows.foreach { r =>
+      if (r.segId != curSeg) {
+        if (writer != null) metas += writer.finish()
+        curSeg = r.segId
+        docBase = curSeg.toLong * docsPerSegment
+        val docCount = math.min(docsPerSegment.toLong, numDocs - docBase).toInt
+        writer = new SegmentWriter(indexDir, curSeg, docBase, docCount, analyzerName, storePositions)
+      }
+      val localDoc = (r.docId - docBase).toInt
+      if (r.term.isEmpty) writer.addDocLength(localDoc, r.dl)
+      else writer.addPosting(r.term, localDoc, r.freq, r.positions)
+    }
+    if (writer != null) metas += writer.finish()
+
+    val meta = IndexMeta(analyzerName, metas.map(_.docCount.toLong).sum,
+      metas.map(_.sumDocLength).sum, storePositions, metas.toSeq.sortBy(_.segId))
+    IndexMetaIO.writeCommit(indexDir, meta)
+    meta
+  }
+
+  /** Sequential search across all segments + merge (drop-in comparable with
+    * the distributed IndexSearcher). */
+  def search(indexDir: String, q: Query, k: Int, sim: Similarity,
+      useWand: Boolean = true): Array[ScoredDoc] = {
+    val meta = IndexMetaIO.readLatest(indexDir).get
+    val readers = meta.segments.map(m =>
+      new SegmentReader(new java.io.File(indexDir, SegmentFormat.segDirName(m.segId))))
+    val terms = Query.allTerms(q)
+    val dfm = terms.map(t => t -> readers.flatMap(_.termInfo(t)).map(_.df.toLong).sum).toMap
+    val stats = graft.score.CorpusStats(meta.numDocs, meta.avgDocLength)
+    readers.flatMap(r => SegmentSearch.topK(r, q, k, sim, stats, t => dfm.getOrElse(t, 0L), useWand))
+      .sortBy(h => (-h.score, h.docId))
+      .take(k)
+      .toArray
+  }
+}

@@ -1,0 +1,497 @@
+package graft.index
+
+import java.io.{File, FileOutputStream}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
+
+import graft.codec.{ByteReader, ByteWriter, IntBlockCodec, SmallFloat}
+import graft.score.TermWeight
+
+/** Per-segment metadata — one row of the lineage table (north rule: "input
+  * split → segment, doc counts, term counts, bytes").
+  *
+  * The segment is the engine's unit of parallel search, mirroring the
+  * reference's immutable segment model
+  * (/root/reference/src/core/index/SegmentInfo.cpp, SegmentInfos.cpp) with
+  * doc-range partitioning: docBase + localId = global docId, so segment
+  * merge is pure concatenation (SegmentMerger.cpp:88-103 semantics). */
+final case class SegmentMeta(
+    segId: Int,
+    docBase: Long,
+    docCount: Int,
+    sumDocLength: Long,
+    termCount: Int,
+    postingCount: Long,
+    bytes: Long,
+    analyzer: String,
+    hasPositions: Boolean) extends Serializable
+
+object SegmentFormat {
+  /** Postings per block; also the term-index sampling interval
+    * (SURVEY.md §7.3; reference term-index interval 128 —
+    * /root/reference/src/core/index/IndexWriter.cpp:64). */
+  val BlockSize: Int = IntBlockCodec.BlockSize
+  val TermIndexInterval = 64
+  val NoMoreDocs: Int = Int.MaxValue
+
+  def segDirName(segId: Int): String = f"seg-$segId%05d"
+}
+
+/** Streaming segment writer. Consumes rows already sorted by
+  * (term, localDoc) — the Spark build pipeline guarantees this via
+  * sortWithinPartitions — and writes the four segment files:
+  *
+  *  - norms.bin:   1 SmallFloat byte per doc (Lucene norm quantization)
+  *  - doclens.bin: exact doc length VInts (exact-dl scoring + stats)
+  *  - terms.bin:   prefix-compressed sorted term dict w/ df, term-level
+  *                 max-impact metadata and postings offsets; every
+  *                 TermIndexInterval-th entry restarts prefixing and is
+  *                 recorded in terms.idx
+  *  - postings.bin: per term, blocks of ≤128 postings: FOR-packed doc
+  *                 deltas + freqs, optional VInt position deltas, and
+  *                 per-block (lastDoc, maxFreq, minDl) block-max metadata
+  *                 enabling Block-Max WAND (Ding & Suel, WSDM 2011)
+  *
+  * Write is atomic: files land in `<dir>.tmp` and are renamed into place in
+  * `finish()` — the crash-safe commit unit of the resumable build (analog of
+  * the reference's write-once segments_N, SegmentInfos.cpp:29-31). */
+final class SegmentWriter(
+    indexDir: String,
+    segId: Int,
+    docBase: Long,
+    docCount: Int,
+    analyzerName: String,
+    storePositions: Boolean) {
+
+  import SegmentFormat._
+
+  private val finalDir = new File(indexDir, segDirName(segId))
+  private val tmpDir = new File(indexDir, segDirName(segId) + ".tmp")
+
+  private val norms = new Array[Byte](docCount)
+  private val doclens = new Array[Int](docCount)
+  private var sumDl = 0L
+
+  private val termsOut = new ByteWriter(1 << 16)
+  private val termIdxOut = new ByteWriter(1 << 12)
+  private val postingsOut = new ByteWriter(1 << 20)
+
+  private var termCount = 0
+  private var postingCount = 0L
+  private var prevTerm: String = null
+  private var lastPostingsEnd = 0L
+
+  // current-term state
+  private var curTerm: String = null
+  private var curDf = 0
+  private var curMaxFreq = 0
+  private var curMinDl = Int.MaxValue
+  private var curPostingsStart = 0L
+  private val docBuf = new Array[Int](BlockSize)
+  private val freqBuf = new Array[Int](BlockSize)
+  private val posBuf = new ByteWriter(4096)
+  private var bufN = 0
+  private var prevDocInTerm = -1
+  private var prevBlockLastDoc = -1
+
+  def addDocLength(localDoc: Int, dl: Int): Unit = {
+    norms(localDoc) = SmallFloat.encodeNorm(dl)
+    doclens(localDoc) = dl
+    sumDl += dl
+  }
+
+  /** Terms must arrive in ascending order; docs ascending within a term. */
+  def addPosting(term: String, localDoc: Int, freq: Int, positions: Array[Int]): Unit = {
+    if (curTerm == null || term != curTerm) {
+      if (curTerm != null) endTerm()
+      startTerm(term)
+    }
+    if (bufN == BlockSize) flushBlock()
+    docBuf(bufN) = localDoc
+    freqBuf(bufN) = freq
+    if (storePositions) {
+      var prev = 0
+      var i = 0
+      while (i < freq) { posBuf.writeVInt(positions(i) - prev); prev = positions(i); i += 1 }
+    }
+    bufN += 1
+    curDf += 1
+    postingCount += 1
+    if (freq > curMaxFreq) curMaxFreq = freq
+    val dl = doclens(localDoc)
+    if (dl < curMinDl) curMinDl = dl
+  }
+
+  private def startTerm(term: String): Unit = {
+    require(prevTerm == null || term > prevTerm, s"terms out of order: '$prevTerm' -> '$term'")
+    curTerm = term
+    curDf = 0
+    curMaxFreq = 0
+    curMinDl = Int.MaxValue
+    curPostingsStart = postingsOut.size.toLong
+    prevDocInTerm = -1
+    prevBlockLastDoc = -1
+    bufN = 0
+  }
+
+  private def flushBlock(): Unit = {
+    if (bufN == 0) return
+    val n = bufN
+    val lastDoc = docBuf(n - 1)
+    // block-max metadata
+    var bMaxFreq = 0
+    var bMinDl = Int.MaxValue
+    var i = 0
+    while (i < n) {
+      if (freqBuf(i) > bMaxFreq) bMaxFreq = freqBuf(i)
+      val dl = doclens(docBuf(i))
+      if (dl < bMinDl) bMinDl = dl
+      i += 1
+    }
+    // payload: packed (docDelta-1), packed (freq-1), positions bytes
+    val deltas = new Array[Int](n)
+    var prev = prevBlockLastDoc
+    i = 0
+    while (i < n) { deltas(i) = docBuf(i) - prev - 1; prev = docBuf(i); i += 1 }
+    val fm1 = new Array[Int](n)
+    i = 0
+    while (i < n) { fm1(i) = freqBuf(i) - 1; i += 1 }
+
+    val payload = new ByteWriter(512)
+    IntBlockCodec.encodeBlock(deltas, n, payload)
+    IntBlockCodec.encodeBlock(fm1, n, payload)
+    if (storePositions) {
+      payload.writeVInt(posBuf.size)
+      payload.writeBytes(posBuf.toArray)
+    }
+    val payloadArr = payload.toArray
+
+    postingsOut.writeVInt(n)
+    postingsOut.writeVInt(lastDoc - prevBlockLastDoc)
+    postingsOut.writeVInt(bMaxFreq)
+    postingsOut.writeByte(SmallFloat.encodeNorm(bMinDl))
+    postingsOut.writeVInt(bMinDl)
+    postingsOut.writeVInt(payloadArr.length)
+    postingsOut.writeBytes(payloadArr)
+
+    prevBlockLastDoc = lastDoc
+    bufN = 0
+    posBuf.reset()
+  }
+
+  private def endTerm(): Unit = {
+    flushBlock()
+    // term dict entry
+    val restart = termCount % TermIndexInterval == 0
+    val prefixLen =
+      if (restart || prevTerm == null) 0
+      else {
+        var p = 0
+        val max = math.min(prevTerm.length, curTerm.length)
+        while (p < max && prevTerm.charAt(p) == curTerm.charAt(p)) p += 1
+        p
+      }
+    if (restart) {
+      termIdxOut.writeString(curTerm)
+      termIdxOut.writeVLong(termsOut.size.toLong)
+      termIdxOut.writeVLong(curPostingsStart)
+      termIdxOut.writeVInt(termCount)
+    }
+    val suffix = curTerm.substring(prefixLen)
+    termsOut.writeVInt(prefixLen)
+    termsOut.writeString(suffix)
+    termsOut.writeVInt(curDf)
+    termsOut.writeVInt(curMaxFreq)
+    termsOut.writeByte(SmallFloat.encodeNorm(curMinDl))
+    termsOut.writeVInt(curMinDl)
+    termsOut.writeVLong(curPostingsStart - lastPostingsEnd) // delta, usually 0
+    termsOut.writeVLong(postingsOut.size.toLong - curPostingsStart) // length
+    lastPostingsEnd = postingsOut.size.toLong
+
+    prevTerm = curTerm
+    curTerm = null
+    termCount += 1
+  }
+
+  def finish(): SegmentMeta = {
+    if (curTerm != null) endTerm()
+    tmpDir.mkdirs()
+    // norms + exact doclens
+    writeFile(new File(tmpDir, "norms.bin"), norms)
+    val dlw = new ByteWriter(docCount * 2)
+    var i = 0
+    while (i < docCount) { dlw.writeVInt(doclens(i)); i += 1 }
+    writeFile(new File(tmpDir, "doclens.bin"), dlw.toArray)
+    writeFile(new File(tmpDir, "terms.bin"), termsOut.toArray)
+    writeFile(new File(tmpDir, "terms.idx"), termIdxOut.toArray)
+    writeFile(new File(tmpDir, "postings.bin"), postingsOut.toArray)
+
+    val bytes = tmpDir.listFiles().map(_.length()).sum
+    val meta = SegmentMeta(segId, docBase, docCount, sumDl, termCount,
+      postingCount, bytes, analyzerName, storePositions)
+    writeFile(new File(tmpDir, "meta.bin"), IndexMetaIO.encodeSegment(meta))
+
+    // atomic publish (idempotent on re-run: replace any half-written prior)
+    if (finalDir.exists()) deleteRecursive(finalDir)
+    Files.move(tmpDir.toPath, finalDir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    meta
+  }
+
+  private def writeFile(f: File, bytes: Array[Byte]): Unit = {
+    val out = new FileOutputStream(f)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def deleteRecursive(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
+    f.delete()
+  }
+}
+
+/** Read side of the segment format. Files are memory-mapped
+  * (java.nio, the MMapDirectory analog —
+  * /root/reference/src/core/store/MMapDirectory.cpp); the sampled term index
+  * is decoded to memory for binary search, the term dict itself is scanned
+  * sequentially from the nearest sample (TermInfosReader pattern,
+  * /root/reference/src/core/index/TermInfosReader.cpp:113-160). */
+final class SegmentReader(val dir: File) {
+  import SegmentFormat._
+
+  val meta: SegmentMeta = IndexMetaIO.decodeSegment(Files.readAllBytes(new File(dir, "meta.bin").toPath))
+
+  private val termsBuf = mmap(new File(dir, "terms.bin"))
+  private val postingsBuf = mmap(new File(dir, "postings.bin"))
+  val norms: Array[Byte] = Files.readAllBytes(new File(dir, "norms.bin").toPath)
+  val doclens: Array[Int] = {
+    val r = new ByteReader(Files.readAllBytes(new File(dir, "doclens.bin").toPath))
+    Array.fill(meta.docCount)(r.readVInt())
+  }
+
+  // decoded sampled term index
+  private val (idxTerms, idxTermsOffsets, idxPostOffsets) = {
+    val bytes = Files.readAllBytes(new File(dir, "terms.idx").toPath)
+    val r = new ByteReader(bytes)
+    val ts = Vector.newBuilder[String]
+    val to = Vector.newBuilder[Long]
+    val po = Vector.newBuilder[Long]
+    while (r.remaining > 0) {
+      ts += r.readString()
+      to += r.readVLong()
+      po += r.readVLong()
+      r.readVInt() // ordinal (unused on this path)
+    }
+    (ts.result(), to.result(), po.result())
+  }
+
+  private def mmap(f: File): java.nio.ByteBuffer = {
+    val ch = FileChannel.open(f.toPath, StandardOpenOption.READ)
+    try ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size()) finally ch.close()
+  }
+
+  final case class TermInfo(term: String, df: Int, maxFreq: Int, minDlByte: Byte,
+      minDl: Int, postingsOffset: Long, postingsBytes: Long)
+
+  /** Binary search the sampled index, then scan ≤ TermIndexInterval entries. */
+  def termInfo(term: String): Option[TermInfo] = {
+    if (idxTerms.isEmpty) return None
+    // greatest sample <= term
+    var lo = 0
+    var hi = idxTerms.length - 1
+    if (idxTerms(0) > term) return None
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (idxTerms(mid) <= term) lo = mid else hi = mid - 1
+    }
+    val r = new ByteReader(termsBuf.duplicate())
+    r.seek(idxTermsOffsets(lo).toInt)
+    var postingsPos = idxPostOffsets(lo)
+    var prev: String = null
+    var scanned = 0
+    while (scanned < TermIndexInterval && r.remaining > 0) {
+      val prefixLen = r.readVInt()
+      val suffix = r.readString()
+      val t = if (prefixLen == 0) suffix else prev.substring(0, prefixLen) + suffix
+      val df = r.readVInt()
+      val maxFreq = r.readVInt()
+      val minDlByte = r.readByte()
+      val minDl = r.readVInt()
+      postingsPos += r.readVLong()
+      val len = r.readVLong()
+      if (t == term) return Some(TermInfo(t, df, maxFreq, minDlByte, minDl, postingsPos, len))
+      if (t > term) return None
+      postingsPos += len
+      prev = t
+      scanned += 1
+    }
+    None
+  }
+
+  /** Iterate the whole term dictionary (for stats jobs / merge). */
+  def allTerms: Iterator[TermInfo] = new Iterator[TermInfo] {
+    private val r = new ByteReader(termsBuf.duplicate())
+    private var prev: String = null
+    private var postingsPos = 0L
+    override def hasNext: Boolean = r.remaining > 0
+    override def next(): TermInfo = {
+      val prefixLen = r.readVInt()
+      val suffix = r.readString()
+      val t = if (prefixLen == 0) suffix else prev.substring(0, prefixLen) + suffix
+      val df = r.readVInt()
+      val maxFreq = r.readVInt()
+      val minDlByte = r.readByte()
+      val minDl = r.readVInt()
+      postingsPos += r.readVLong()
+      val len = r.readVLong()
+      val ti = TermInfo(t, df, maxFreq, minDlByte, minDl, postingsPos, len)
+      postingsPos += len
+      prev = t
+      ti
+    }
+  }
+
+  def postings(ti: TermInfo, needPositions: Boolean): PostingsIterator =
+    new PostingsIterator(
+      new ByteReader({ val d = postingsBuf.duplicate(); d.position(ti.postingsOffset.toInt); d }),
+      ti.df, meta.hasPositions, needPositions)
+}
+
+/** Block-decoding postings iterator implementing the DocIdSetIterator
+  * contract (nextDoc/advance — /root/reference/src/core/search/DocIdSetIterator.cpp)
+  * plus the block-max extension (`blockLastDoc`/`blockMaxScore`/
+  * `skipToBlockContaining`) used by WAND. Decodes 128 postings at a time
+  * into flat int arrays (bulk-read pattern of the reference's TermScorer,
+  * /root/reference/src/core/search/TermScorer.cpp:49-70). */
+final class PostingsIterator(
+    in: ByteReader,
+    val df: Int,
+    filePositions: Boolean,
+    needPositions: Boolean) {
+
+  import SegmentFormat._
+
+  private val docs = new Array[Int](BlockSize)
+  private val freqs = new Array[Int](BlockSize)
+  private var posBytes: Array[Byte] = null
+
+  // State machine: either no block (start/end), a block with only the
+  // HEADER read (payload pending — the skip state), or a DECODED block with
+  // cursor blockIdx. Invariant: headerPending && blockDecoded never both.
+  private var blockN = 0 // entries in current block
+  private var blockIdx = 0 // cursor within decoded block
+  private var consumed = 0 // postings consumed across headers read
+  private var prevBlockLast = -1
+  private var curBlockLast = -1
+  private var blockMaxFreqV = 0
+  private var blockMinDlByteV: Byte = 0
+  private var blockMinDlV = 0
+  private var headerPending = false // header read, payload not yet decoded
+  private var blockDecoded = false
+  private var payloadLen = 0
+  private var _doc = -1
+
+  def docID: Int = _doc
+  def freq: Int = freqs(blockIdx)
+
+  /** Positions of the current posting (requires needPositions). */
+  def positions(): Array[Int] = {
+    val r = new ByteReader(posBytes)
+    // skip positions of postings before blockIdx
+    var i = 0
+    var out: Array[Int] = null
+    while (i <= blockIdx) {
+      val f = freqs(i)
+      if (i == blockIdx) {
+        out = new Array[Int](f)
+        var prev = 0
+        var j = 0
+        while (j < f) { prev += r.readVInt(); out(j) = prev; j += 1 }
+      } else {
+        var j = 0
+        while (j < f) { r.readVInt(); j += 1 }
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Read the next block HEADER only (no payload decode). False at end. */
+  private def nextBlockHeader(): Boolean = {
+    if (headerPending) { in.skip(payloadLen); headerPending = false } // discard skipped block
+    blockDecoded = false
+    if (consumed >= df) return false
+    prevBlockLast = curBlockLast
+    blockN = in.readVInt()
+    curBlockLast = prevBlockLast + in.readVInt()
+    blockMaxFreqV = in.readVInt()
+    blockMinDlByteV = in.readByte()
+    blockMinDlV = in.readVInt()
+    payloadLen = in.readVInt()
+    headerPending = true
+    consumed += blockN
+    true
+  }
+
+  private def decodeBlock(): Unit = {
+    IntBlockCodec.decodeBlock(in, blockN, docs)
+    var prev = prevBlockLast
+    var i = 0
+    while (i < blockN) { prev += docs(i) + 1; docs(i) = prev; i += 1 }
+    IntBlockCodec.decodeBlock(in, blockN, freqs)
+    i = 0
+    while (i < blockN) { freqs(i) += 1; i += 1 }
+    if (filePositions) {
+      val pb = in.readVInt()
+      if (needPositions) posBytes = in.readBytes(pb) else in.skip(pb)
+    }
+    headerPending = false
+    blockDecoded = true
+    blockIdx = 0
+  }
+
+  def nextDoc(): Int = {
+    if (_doc == NoMoreDocs) return NoMoreDocs
+    if (blockDecoded && blockIdx + 1 < blockN) blockIdx += 1
+    else {
+      if (headerPending) decodeBlock()
+      else if (nextBlockHeader()) decodeBlock()
+      else { _doc = NoMoreDocs; return NoMoreDocs }
+    }
+    _doc = docs(blockIdx)
+    _doc
+  }
+
+  def advance(target: Int): Int = {
+    if (_doc == NoMoreDocs) return NoMoreDocs
+    if (_doc >= target) return _doc
+    // skip whole blocks via headers only
+    while (curBlockLast < target) {
+      if (!nextBlockHeader()) { _doc = NoMoreDocs; return NoMoreDocs }
+    }
+    if (!blockDecoded) {
+      if (headerPending) decodeBlock()
+      else { _doc = NoMoreDocs; return NoMoreDocs } // cannot happen: curBlockLast >= target implies a block
+    }
+    // linear scan within decoded block (<=128 entries; curBlockLast >= target
+    // guarantees a hit)
+    while (docs(blockIdx) < target) blockIdx += 1
+    _doc = docs(blockIdx)
+    _doc
+  }
+
+  // ---- block-max API (WAND) ----
+
+  /** Last docID of the current block (header-known even before decode). */
+  def blockLastDoc: Int = curBlockLast
+
+  def blockMaxScore(w: TermWeight): Float =
+    w.maxScore(blockMaxFreqV, blockMinDlByteV, blockMinDlV)
+
+  /** Move block headers forward (no payload decode) until the current block
+    * may contain `target`. Returns false if exhausted. */
+  def skipToBlockContaining(target: Int): Boolean = {
+    while (curBlockLast < target) {
+      if (!nextBlockHeader()) { _doc = NoMoreDocs; return false }
+    }
+    true
+  }
+}

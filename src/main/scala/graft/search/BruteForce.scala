@@ -1,0 +1,104 @@
+package graft.search
+
+import graft.analysis.Analyzer
+import graft.codec.SmallFloat
+import graft.score.{CorpusStats, Similarity}
+
+/** Exhaustive single-threaded reference implementation — the executable
+  * spec. Every query the engine answers must match BruteForce exactly
+  * (same docIDs, same float scores, same tie-break). This is the reference
+  * suite's dual-implementation pattern (Boolean2Test asserts BooleanScorer ==
+  * BooleanScorer2 — /root/reference/src/test/search/Boolean2Test.cpp:42-63)
+  * applied to the whole engine. It shares the exact TermWeight arithmetic
+  * and clause-order float accumulation with the scorers, so equality is
+  * bitwise, not approximate. */
+object BruteForce {
+
+  final case class Doc(docId: Long, termPositions: Map[String, Array[Int]], dl: Int) {
+    def freq(t: String): Int = termPositions.get(t).map(_.length).getOrElse(0)
+  }
+
+  def analyzeCorpus(analyzer: Analyzer, docs: Seq[(Long, String)]): Seq[Doc] =
+    docs.map { case (id, text) =>
+      var pos = -1
+      var len = 0
+      val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+      analyzer.analyze(text).foreach { t =>
+        pos += t.posIncr
+        len += 1
+        m.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += pos
+      }
+      Doc(id, m.view.mapValues(_.toArray).toMap, len)
+    }
+
+  def stats(corpus: Seq[Doc]): CorpusStats =
+    CorpusStats(corpus.size.toLong, if (corpus.isEmpty) 0.0 else corpus.map(_.dl.toLong).sum.toDouble / corpus.size)
+
+  def df(corpus: Seq[Doc]): Map[String, Long] =
+    corpus.flatMap(_.termPositions.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+
+  /** Match + score one doc; None when no match. Mirrors the scorer-tree
+    * semantics in SegmentSearch (coord applied per BoolQ level, clause-order
+    * summation). */
+  def scoreDoc(q: Query, doc: Doc, sim: Similarity, st: CorpusStats,
+      dfm: Map[String, Long], queryNorm: Float): Option[Float] = q match {
+
+    case TermQ(t, boost) =>
+      val f = doc.freq(t)
+      if (f == 0) None
+      else {
+        val norm = SmallFloat.encodeNorm(doc.dl)
+        Some(sim.normalizedTermWeight(dfm.getOrElse(t, 0L), boost, queryNorm, st)
+          .score(f.toFloat, norm, doc.dl))
+      }
+
+    case PhraseQ(ts, _, boost) =>
+      val arrays = ts.zipWithIndex.map { case (t, i) =>
+        doc.termPositions.get(t).map(_.map(_ - i))
+      }
+      if (arrays.exists(_.isEmpty)) None
+      else {
+        val sets = arrays.flatten
+        val pf = sets.head.count(p => sets.tail.forall(_.contains(p)))
+        if (pf == 0) None
+        else {
+          val idfSum = ts.map(t => sim.idf(dfm.getOrElse(t, 0L), st)).sum
+          val norm = SmallFloat.encodeNorm(doc.dl)
+          Some(sim.phraseWeight(idfSum, boost, queryNorm, st).score(pf.toFloat, norm, doc.dl))
+        }
+      }
+
+    case MatchAllQ => Some(queryNorm)
+
+    case BoolQ(must, should, mustNot, msm) =>
+      if (mustNot.exists(n => scoreDoc(n, doc, sim, st, dfm, queryNorm).isDefined)) None
+      else {
+        val mustScores = must.map(m => scoreDoc(m, doc, sim, st, dfm, queryNorm))
+        if (mustScores.exists(_.isEmpty)) None
+        else {
+          val shouldScores = should.map(s => scoreDoc(s, doc, sim, st, dfm, queryNorm))
+          val matchedOpt = shouldScores.count(_.isDefined)
+          if (must.isEmpty && matchedOpt < math.max(1, msm)) None
+          else if (msm > 0 && matchedOpt < msm) None
+          else {
+            var s = 0.0f
+            mustScores.foreach(o => s += o.get)
+            shouldScores.foreach(o => o.foreach(v => s += v))
+            val maxCoord = must.size + should.size
+            Some(s * sim.coord(must.size + matchedOpt, maxCoord))
+          }
+        }
+      }
+  }
+
+  def search(corpus: Seq[Doc], q0: Query, k: Int, sim: Similarity): Array[ScoredDoc] = {
+    val q = Query.rewrite(q0)
+    val st = stats(corpus)
+    val dfm = df(corpus)
+    val qn = sim.queryNorm(SegmentSearch.sumOfSquaredWeights(q, sim, st, t => dfm.getOrElse(t, 0L)))
+    corpus.flatMap(d => scoreDoc(q, d, sim, st, dfm, qn).map(s => ScoredDoc(d.docId, s)))
+      .sortBy(h => (-h.score, h.docId))
+      .take(k)
+      .toArray
+  }
+}

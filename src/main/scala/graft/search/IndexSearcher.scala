@@ -1,0 +1,91 @@
+package graft.search
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+
+import graft.index.{IndexMeta, IndexMetaIO, SegmentFormat, SegmentReader}
+import graft.score.{CorpusStats, Similarity}
+
+/** Per-executor segment reader cache — segments are immutable, so a
+  * process-wide map keyed by path is safe; the mmap'd buffers are shared by
+  * all tasks on the executor (reference analog: one SegmentReader per open
+  * index — /root/reference/src/core/index/DirectoryReader.cpp). */
+object ReaderCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, SegmentReader]()
+  def get(segDir: String): SegmentReader =
+    cache.computeIfAbsent(segDir, d => new SegmentReader(new File(d)))
+  def clear(): Unit = cache.clear()
+}
+
+/** Distributed BM25 top-k over the committed segment set.
+  *
+  * This IS the reference's ParallelMultiSearcher re-expressed on Spark
+  * (/root/reference/src/core/search/ParallelMultiSearcher.cpp:32-90;
+  * SURVEY.md §3.2): the per-subreader scatter loop becomes a task per
+  * segment, docBase offsets come from the lineage table, global weights
+  * (df, N, avgdl) are computed once driver-side and broadcast, and the
+  * final merge is a driver heap over ≤ k hits per segment.
+  *
+  * Queries are executed in BATCHES: one Spark job computes global df for
+  * all query terms (tiny shuffle: |terms| rows), one job scores all queries
+  * against all segments. Per-query driver work is O(segments · k). */
+final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Serializable {
+
+  val meta: IndexMeta = IndexMetaIO.readLatest(indexDir)
+    .getOrElse(throw new IllegalStateException(s"no committed index at $indexDir"))
+  val stats: CorpusStats = CorpusStats(meta.numDocs, meta.avgDocLength)
+
+  private val segDirs: Seq[String] =
+    meta.segments.map(m => new File(indexDir, SegmentFormat.segDirName(m.segId)).getPath)
+
+  /** Global document frequencies for a term set: sum of per-segment df.
+    * Exact (the reference's df is exact too — SURVEY.md §2.4). */
+  def globalDf(terms: Set[String]): Map[String, Long] = {
+    if (terms.isEmpty) return Map.empty
+    val sc = spark.sparkContext
+    val bcTerms = sc.broadcast(terms.toSeq)
+    val dfs = sc.parallelize(segDirs, math.max(1, segDirs.size))
+      .flatMap { dir =>
+        val r = ReaderCache.get(dir)
+        bcTerms.value.flatMap(t => r.termInfo(t).map(ti => (t, ti.df.toLong)))
+      }
+      .reduceByKey(_ + _)
+      .collect()
+      .toMap
+    bcTerms.destroy()
+    dfs
+  }
+
+  def search(q: Query, k: Int, sim: Similarity, useWand: Boolean = true): Array[ScoredDoc] =
+    searchBatch(Seq("q" -> q), k, sim, useWand)("q")
+
+  def searchBatch(queries: Seq[(String, Query)], k: Int, sim: Similarity,
+      useWand: Boolean = true): Map[String, Array[ScoredDoc]] = {
+    val allTerms = queries.flatMap { case (_, q) => Query.allTerms(q) }.toSet
+    val dfMap = globalDf(allTerms)
+    val sc = spark.sparkContext
+    val bcDf = sc.broadcast(dfMap)
+    val bcQueries = sc.broadcast(queries)
+    val st = stats
+
+    val perSegment = sc.parallelize(segDirs, math.max(1, segDirs.size))
+      .flatMap { dir =>
+        val reader = ReaderCache.get(dir)
+        val df = (t: String) => bcDf.value.getOrElse(t, 0L)
+        bcQueries.value.iterator.map { case (id, q) =>
+          (id, SegmentSearch.topK(reader, q, k, sim, st, df, useWand))
+        }
+      }
+      .collect()
+
+    bcQueries.destroy()
+    bcDf.destroy()
+
+    // driver k-way merge with the reference tie-break (score desc, docId asc)
+    perSegment.groupBy(_._1).map { case (id, hits) =>
+      id -> hits.iterator.flatMap(_._2).toArray
+        .sortBy(h => (-h.score, h.docId)).take(k)
+    }
+  }
+}

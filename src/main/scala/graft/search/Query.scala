@@ -1,0 +1,72 @@
+package graft.search
+
+import graft.analysis.Analyzer
+
+/** Query plan ADT — the engine's logical plan (SURVEY.md §2.3 "scorer-tree
+  * planner"; reference Query classes /root/reference/src/core/search/).
+  * Built programmatically (the reference's fixtures do the same —
+  * TermScorerTest.cpp constructs TermQuery directly); a text parser is a
+  * later round. */
+sealed trait Query extends Serializable
+
+final case class TermQ(term: String, boost: Float = 1f) extends Query
+
+/** Exact phrase when slop=0 (reference ExactPhraseScorer.cpp:20-45). */
+final case class PhraseQ(terms: Seq[String], slop: Int = 0, boost: Float = 1f) extends Query
+
+/** AND/OR/NOT tree with minimum-should-match
+  * (reference BooleanQuery.cpp / BooleanScorer2.cpp:58-93). */
+final case class BoolQ(
+    must: Seq[Query] = Nil,
+    should: Seq[Query] = Nil,
+    mustNot: Seq[Query] = Nil,
+    minShouldMatch: Int = 0) extends Query
+
+case object MatchAllQ extends Query
+
+object Query {
+
+  /** All terms needing global df (postings terms incl. prohibited). */
+  def allTerms(q: Query): Set[String] = q match {
+    case TermQ(t, _) => Set(t)
+    case PhraseQ(ts, _, _) => ts.toSet
+    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(allTerms).toSet
+    case MatchAllQ => Set.empty
+  }
+
+  def needsPositions(q: Query): Boolean = q match {
+    case _: PhraseQ => true
+    case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(needsPositions)
+    case _ => false
+  }
+
+  /** Normalize: collapse 1-clause booleans (reference
+    * BooleanQuery.cpp:87-102 rewrite). */
+  def rewrite(q: Query): Query = q match {
+    case BoolQ(Seq(one), Nil, Nil, _) => rewrite(one)
+    case BoolQ(Nil, Seq(one), Nil, msm) if msm <= 1 => rewrite(one)
+    case BoolQ(m, s, n, msm) =>
+      BoolQ(m.map(rewrite), s.map(rewrite), n.map(rewrite), msm)
+    case other => other
+  }
+
+  /** Analyze raw text into an OR (or AND) of term queries with the index's
+    * analyzer — the minimal query-string entry point. */
+  def fromText(analyzer: Analyzer, text: String, and: Boolean = false): Query = {
+    val terms = analyzer.analyze(text).map(_.term).toSeq
+    terms match {
+      case Seq(t) => TermQ(t)
+      case ts if and => BoolQ(must = ts.map(TermQ(_)))
+      case ts => BoolQ(should = ts.map(TermQ(_)))
+    }
+  }
+
+  /** True if `q` is a flat OR of bare terms — the WAND-eligible shape. */
+  def flatOrTerms(q: Query): Option[Seq[TermQ]] = q match {
+    case t: TermQ => Some(Seq(t))
+    case BoolQ(Nil, should, Nil, msm) if msm <= 1 &&
+      should.forall(_.isInstanceOf[TermQ]) =>
+      Some(should.map(_.asInstanceOf[TermQ]))
+    case _ => None
+  }
+}

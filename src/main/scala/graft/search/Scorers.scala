@@ -1,0 +1,286 @@
+package graft.search
+
+import graft.index.{PostingsIterator, SegmentFormat}
+import graft.score.TermWeight
+
+/** DocIdSetIterator + score — the contract every posting-algebra operator
+  * implements (reference /root/reference/src/core/search/DocIdSetIterator.cpp;
+  * the "join zoo" of SURVEY.md §2.3). All docIDs are segment-local. */
+trait Scorer {
+  def docID: Int
+  def nextDoc(): Int
+  def advance(target: Int): Int
+  def score(): Float
+}
+
+object Scorer {
+  val NoMoreDocs: Int = SegmentFormat.NoMoreDocs
+}
+
+/** Single-term scored scan (reference TermScorer.cpp:94-98). */
+final class TermScorer(
+    val pi: PostingsIterator,
+    val weight: TermWeight,
+    norms: Array[Byte],
+    doclens: Array[Int]) extends Scorer {
+  override def docID: Int = pi.docID
+  override def nextDoc(): Int = pi.nextDoc()
+  override def advance(target: Int): Int = pi.advance(target)
+  override def score(): Float = {
+    val d = pi.docID
+    weight.score(pi.freq.toFloat, norms(d), doclens(d))
+  }
+}
+
+/** N-ary sort-merge inner join on docID — AND
+  * (reference ConjunctionScorer.cpp: repeatedly advance the lagging
+  * iterator to the current max). Scores sum in clause order so results are
+  * float-identical with the brute-force executable spec. */
+final class ConjunctionScorer(subs: Array[Scorer]) extends Scorer {
+  private var _doc = -1
+
+  override def docID: Int = _doc
+
+  override def nextDoc(): Int = {
+    if (_doc == Scorer.NoMoreDocs) return _doc
+    _doc = doNext(if (_doc == -1) { subs.foreach(_.nextDoc()); maxDoc() } else {
+      subs(0).nextDoc(); align()
+    })
+    _doc
+  }
+
+  override def advance(target: Int): Int = {
+    if (_doc == Scorer.NoMoreDocs) return _doc
+    if (_doc == -1) subs.foreach(_.nextDoc())
+    subs(0).advance(target)
+    _doc = doNext(align())
+    _doc
+  }
+
+  private def maxDoc(): Int = {
+    var m = -1
+    var i = 0
+    while (i < subs.length) { if (subs(i).docID > m) m = subs(i).docID; i += 1 }
+    m
+  }
+
+  private def align(): Int = maxDoc()
+
+  /** leapfrog until all equal `target` (or exhausted). */
+  private def doNext(target0: Int): Int = {
+    var target = target0
+    var aligned = false
+    while (!aligned) {
+      if (target == Scorer.NoMoreDocs) return Scorer.NoMoreDocs
+      aligned = true
+      var i = 0
+      while (i < subs.length && aligned) {
+        if (subs(i).docID < target) {
+          val d = subs(i).advance(target)
+          if (d > target) { target = d; aligned = false }
+        }
+        i += 1
+      }
+    }
+    target
+  }
+
+  override def score(): Float = {
+    var s = 0.0f
+    var i = 0
+    while (i < subs.length) { s += subs(i).score(); i += 1 }
+    s
+  }
+}
+
+/** N-ary union with per-doc match count — OR with minShouldMatch
+  * (reference DisjunctionSumScorer.cpp). Uses a simple min-scan over ≤
+  * dozens of clauses instead of the reference's ScorerDocQueue heap: clause
+  * counts are small and clause-order summation keeps float results
+  * deterministic. */
+final class DisjunctionSumScorer(subs: Array[Scorer], minShouldMatch: Int) extends Scorer {
+  private var _doc = -1
+  private var _nrMatchers = 0
+  private var _score = 0.0f
+  private var started = false
+
+  override def docID: Int = _doc
+
+  private def startIfNeeded(): Unit =
+    if (!started) { var i = 0; while (i < subs.length) { subs(i).nextDoc(); i += 1 }; started = true }
+
+  override def nextDoc(): Int = {
+    if (_doc == Scorer.NoMoreDocs) return _doc
+    startIfNeeded()
+    var ok = false
+    while (!ok) {
+      // min over current docIDs
+      var min = Scorer.NoMoreDocs
+      var i = 0
+      while (i < subs.length) {
+        val d = subs(i).docID
+        if (d > _doc && d < min) min = d
+        i += 1
+      }
+      if (min == Scorer.NoMoreDocs) { _doc = Scorer.NoMoreDocs; return _doc }
+      _doc = min
+      ok = evaluate()
+    }
+    _doc
+  }
+
+  override def advance(target: Int): Int = {
+    if (_doc == Scorer.NoMoreDocs) return _doc
+    startIfNeeded()
+    var i = 0
+    while (i < subs.length) {
+      if (subs(i).docID < target) subs(i).advance(target)
+      i += 1
+    }
+    _doc = target - 1
+    nextDoc()
+  }
+
+  /** Count/sum matchers at _doc in clause order; advance non-matchers later
+    * lazily (they advance themselves on the next min-scan). */
+  private def evaluate(): Boolean = {
+    var n = 0
+    var s = 0.0f
+    var i = 0
+    while (i < subs.length) {
+      if (subs(i).docID == _doc) { n += 1; s += subs(i).score() }
+      i += 1
+    }
+    // advance matchers past _doc for the next round
+    i = 0
+    while (i < subs.length) {
+      if (subs(i).docID == _doc) subs(i).nextDoc()
+      i += 1
+    }
+    if (n >= math.max(1, minShouldMatch)) { _nrMatchers = n; _score = s; true }
+    else false
+  }
+
+  def nrMatchers: Int = _nrMatchers
+  override def score(): Float = _score
+}
+
+/** Anti join: required minus prohibited (reference ReqExclScorer.cpp:21-60). */
+final class ReqExclScorer(req: Scorer, excl: Scorer) extends Scorer {
+  private var exclStarted = false
+  override def docID: Int = req.docID
+  override def nextDoc(): Int = { toNonExcluded(req.nextDoc()) }
+  override def advance(target: Int): Int = { toNonExcluded(req.advance(target)) }
+  override def score(): Float = req.score()
+  private def toNonExcluded(first: Int): Int = {
+    var d = first
+    if (!exclStarted) { excl.nextDoc(); exclStarted = true }
+    while (d != Scorer.NoMoreDocs) {
+      if (excl.docID < d) excl.advance(d)
+      if (excl.docID != d) return d
+      d = req.nextDoc()
+    }
+    d
+  }
+}
+
+/** Left outer: required drives, optional adds when aligned
+  * (reference ReqOptSumScorer.cpp). Exposes optional match count for coord. */
+final class ReqOptSumScorer(req: Scorer, opt: DisjunctionSumScorer) extends Scorer {
+  private var optDone = false
+  private var _optMatchers = 0
+  override def docID: Int = req.docID
+  override def nextDoc(): Int = req.nextDoc()
+  override def advance(target: Int): Int = req.advance(target)
+  override def score(): Float = {
+    val d = req.docID
+    val base = req.score()
+    _optMatchers = 0
+    if (!optDone) {
+      if (opt.docID < d) { if (opt.advance(d) == Scorer.NoMoreDocs) optDone = true }
+      if (!optDone && opt.docID == d) { _optMatchers = opt.nrMatchers; return base + opt.score() }
+    }
+    base
+  }
+  def optMatchers: Int = _optMatchers
+}
+
+/** Constant-score full scan (reference MatchAllDocsQuery.cpp). */
+final class MatchAllScorer(maxDoc: Int, value: Float) extends Scorer {
+  private var _doc = -1
+  override def docID: Int = if (_doc >= maxDoc) Scorer.NoMoreDocs else _doc
+  override def nextDoc(): Int = { _doc += 1; docID }
+  override def advance(target: Int): Int = { _doc = math.max(_doc + 1, target); docID }
+  override def score(): Float = value
+}
+
+/** Exact-phrase: docID leapfrog then in-doc sorted position intersection
+  * with query-offset normalization (reference ExactPhraseScorer.cpp:20-45,
+  * PhraseScorer.cpp:25-28). */
+final class ExactPhraseScorer(
+    pis: Array[PostingsIterator],
+    offsets: Array[Int],
+    weight: TermWeight,
+    norms: Array[Byte],
+    doclens: Array[Int]) extends Scorer {
+
+  private val conj: Array[Scorer] = pis.map { pi =>
+    new Scorer {
+      override def docID: Int = pi.docID
+      override def nextDoc(): Int = pi.nextDoc()
+      override def advance(t: Int): Int = pi.advance(t)
+      override def score(): Float = 0f
+    }
+  }
+  private val inner = new ConjunctionScorer(conj)
+  private var _freq = 0
+
+  override def docID: Int = inner.docID
+  override def nextDoc(): Int = toMatch(inner.nextDoc())
+  override def advance(target: Int): Int = toMatch(inner.advance(target))
+
+  private def toMatch(first: Int): Int = {
+    var d = first
+    while (d != Scorer.NoMoreDocs) {
+      _freq = phraseFreq()
+      if (_freq > 0) return d
+      d = inner.nextDoc()
+    }
+    d
+  }
+
+  /** Count alignment positions: p such that term_i occurs at p + offset_i. */
+  private def phraseFreq(): Int = {
+    val posArrays = new Array[Array[Int]](pis.length)
+    var i = 0
+    while (i < pis.length) {
+      val ps = pis(i).positions()
+      val off = offsets(i)
+      var j = 0
+      while (j < ps.length) { ps(j) -= off; j += 1 }
+      posArrays(i) = ps
+      i += 1
+    }
+    // intersect sorted arrays
+    var count = 0
+    val first = posArrays(0)
+    var j = 0
+    while (j < first.length) {
+      val p = first(j)
+      var all = true
+      var t = 1
+      while (t < posArrays.length && all) {
+        if (java.util.Arrays.binarySearch(posArrays(t), p) < 0) all = false
+        t += 1
+      }
+      if (all) count += 1
+      j += 1
+    }
+    count
+  }
+
+  override def score(): Float = {
+    val d = inner.docID
+    weight.score(_freq.toFloat, norms(d), doclens(d))
+  }
+}

@@ -1,0 +1,265 @@
+package graft.search
+
+import graft.index.{PostingsIterator, SegmentReader}
+import graft.score.{CorpusStats, Similarity, TermWeight}
+
+final case class ScoredDoc(docId: Long, score: Float)
+
+/** Bounded top-k min-heap with the reference's tie-break: score desc, then
+  * docID asc (/root/reference/src/core/search/HitQueue.cpp:20-26;
+  * sentinel-prefill idea from TopScoreDocCollector.cpp:18-34). Root = the
+  * current worst hit; `threshold` feeds WAND pruning. */
+final class TopKCollector(k: Int) {
+  private val scores = new Array[Float](k)
+  private val docs = new Array[Long](k)
+  private var size = 0
+
+  /** Worse-than ordering for the heap: a is worse than b. */
+  @inline private def worse(sa: Float, da: Long, sb: Float, db: Long): Boolean =
+    sa < sb || (sa == sb && da > db)
+
+  def full: Boolean = size == k
+  /** Current kth score (−∞ until full). */
+  def threshold: Float = if (size < k) Float.NegativeInfinity else scores(0)
+  def worstDoc: Long = if (size == 0) Long.MaxValue else docs(0)
+
+  def insertable(score: Float, doc: Long): Boolean =
+    size < k || worse(scores(0), docs(0), score, doc)
+
+  def collect(score: Float, doc: Long): Unit = {
+    if (size < k) {
+      scores(size) = score; docs(size) = doc; size += 1
+      var i = size - 1
+      while (i > 0 && worse(scores(i), docs(i), scores((i - 1) / 2), docs((i - 1) / 2))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    } else if (worse(scores(0), docs(0), score, doc)) {
+      scores(0) = score; docs(0) = doc
+      siftDown()
+    }
+  }
+
+  @inline private def swap(i: Int, j: Int): Unit = {
+    val s = scores(i); scores(i) = scores(j); scores(j) = s
+    val d = docs(i); docs(i) = docs(j); docs(j) = d
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1
+      val r = 2 * i + 2
+      var w = i
+      if (l < size && worse(scores(l), docs(l), scores(w), docs(w))) w = l
+      if (r < size && worse(scores(r), docs(r), scores(w), docs(w))) w = r
+      if (w == i) done = true else { swap(i, w); i = w }
+    }
+  }
+
+  /** Results best-first. */
+  def results(): Array[ScoredDoc] = {
+    val out = (0 until size).map(i => ScoredDoc(docs(i), scores(i))).toArray
+    out.sortBy(h => (-h.score, h.docId))
+  }
+}
+
+/** Per-segment query execution: weight construction (global stats in, the
+  * reference's Weight algebra — Query.cpp:44-54), scorer-tree building
+  * (BooleanScorer2::makeCountingSumScorer semantics, BooleanScorer2.cpp:58-93)
+  * and top-k collection. For flat OR-of-terms under a coord-free similarity
+  * it switches to Block-Max WAND. */
+object SegmentSearch {
+
+  /** Total sum of squared weights of all scoring clauses (classic query
+    * norm); 0 for BM25. */
+  def sumOfSquaredWeights(q: Query, sim: Similarity, stats: CorpusStats,
+      df: String => Long): Float = q match {
+    case TermQ(t, boost) => sim.queryWeightSq(df(t), boost, stats)
+    case PhraseQ(ts, _, boost) =>
+      sim.phraseWeightSq(ts.map(t => sim.idf(df(t), stats)).sum, boost)
+    case BoolQ(m, s, _, _) => (m ++ s).map(sumOfSquaredWeights(_, sim, stats, df)).sum
+    case MatchAllQ => sim.constWeightSq(1f)
+  }
+
+  /** Build the scorer tree for one segment; None when a required clause is
+    * absent from the segment (no possible match). */
+  def scorer(q: Query, reader: SegmentReader, sim: Similarity, stats: CorpusStats,
+      df: String => Long, queryNorm: Float): Option[Scorer] = q match {
+
+    case TermQ(t, boost) =>
+      reader.termInfo(t).map { ti =>
+        val w = sim.normalizedTermWeight(df(t), boost, queryNorm, stats)
+        new TermScorer(reader.postings(ti, needPositions = false), w,
+          reader.norms, reader.doclens)
+      }
+
+    case PhraseQ(ts, _, boost) =>
+      val tis = ts.map(reader.termInfo)
+      if (tis.exists(_.isEmpty)) None
+      else {
+        val idfSum = ts.map(t => sim.idf(df(t), stats)).sum
+        val w = sim.phraseWeight(idfSum, boost, queryNorm, stats)
+        val pis = tis.flatten.map(ti => reader.postings(ti, needPositions = true)).toArray
+        Some(new ExactPhraseScorer(pis, ts.indices.toArray, w, reader.norms, reader.doclens))
+      }
+
+    case MatchAllQ =>
+      Some(new MatchAllScorer(reader.meta.docCount, queryNorm))
+
+    case BoolQ(must, should, mustNot, msm) =>
+      val maxCoord = must.size + should.size
+      val mustScorers = must.map(scorer(_, reader, sim, stats, df, queryNorm))
+      if (mustScorers.exists(_.isEmpty)) return None
+      val shouldScorers = should.flatMap(scorer(_, reader, sim, stats, df, queryNorm))
+      if (must.isEmpty && shouldScorers.size < math.max(1, msm)) return None
+      // minShouldMatch that cannot be satisfied in this segment → no hits
+      if (msm > 0 && shouldScorers.size < msm) return None
+      val notScorers = mustNot.flatMap(scorer(_, reader, sim, stats, df, queryNorm))
+
+      // compose: (must AND [should(msm)]) [opt should] NOT mustNot
+      val positive: Option[(Scorer, () => Int)] = (mustScorers.flatten, shouldScorers) match {
+        case (Nil, Nil) => None
+        case (ms, Nil) =>
+          val c = if (ms.size == 1) ms.head else new ConjunctionScorer(ms.toArray)
+          Some((c, () => ms.size))
+        case (Nil, ss) =>
+          val d = new DisjunctionSumScorer(ss.toArray, msm)
+          Some((d, () => d.nrMatchers))
+        case (ms, ss) if msm > 0 =>
+          val d = new DisjunctionSumScorer(ss.toArray, msm)
+          val c = new ConjunctionScorer((ms :+ (d: Scorer)).toArray)
+          Some((c, () => ms.size + d.nrMatchers))
+        case (ms, ss) =>
+          val req = if (ms.size == 1) ms.head else new ConjunctionScorer(ms.toArray)
+          val d = new DisjunctionSumScorer(ss.toArray, 1)
+          val ro = new ReqOptSumScorer(req, d)
+          Some((ro, () => ms.size + ro.optMatchers))
+      }
+
+      positive.map { case (pos, overlapFn) =>
+        val base =
+          if (notScorers.isEmpty) pos
+          else new ReqExclScorer(pos,
+            if (notScorers.size == 1) notScorers.head
+            else new DisjunctionSumScorer(notScorers.toArray, 1))
+        new Scorer {
+          override def docID: Int = base.docID
+          override def nextDoc(): Int = base.nextDoc()
+          override def advance(t: Int): Int = base.advance(t)
+          override def score(): Float = {
+            val raw = base.score() // must run first: fixes overlap for this doc
+            raw * sim.coord(overlapFn(), maxCoord)
+          }
+        }
+      }
+  }
+
+  /** Top-k over one segment. Returns GLOBAL docIds. */
+  def topK(reader: SegmentReader, q0: Query, k: Int, sim: Similarity,
+      stats: CorpusStats, df: String => Long, useWand: Boolean = true): Array[ScoredDoc] = {
+    val q = Query.rewrite(q0)
+    val collector = new TopKCollector(k)
+    val docBase = reader.meta.docBase
+
+    Query.flatOrTerms(q) match {
+      case Some(terms) if useWand && sim.coord(1, 2) == 1f =>
+        wandTopK(reader, terms, sim, stats, df, collector)
+      case _ =>
+        val qn = sim.queryNorm(sumOfSquaredWeights(q, sim, stats, df))
+        scorer(q, reader, sim, stats, df, qn).foreach { s =>
+          var d = s.nextDoc()
+          while (d != Scorer.NoMoreDocs) {
+            collector.collect(s.score(), docBase + d)
+            d = s.nextDoc()
+          }
+        }
+    }
+    collector.results()
+  }
+
+  /** Block-Max WAND (Ding & Suel, WSDM 2011; an extension the north rule
+    * requires beyond the reference — SURVEY.md §4.2 skip-list row). Uses
+    * term-level upper bounds for pivot selection and per-block bounds for
+    * the final check; ties at the threshold are still evaluated so the
+    * (score desc, docId asc) tie-break stays rank-identical with the
+    * exhaustive scorer. */
+  private def wandTopK(reader: SegmentReader, terms: Seq[TermQ], sim: Similarity,
+      stats: CorpusStats, df: String => Long, collector: TopKCollector): Unit = {
+    val docBase = reader.meta.docBase
+
+    final case class TermIter(pi: PostingsIterator, w: TermWeight, ub: Float, ord: Int)
+    val iters: Array[TermIter] = terms.zipWithIndex.flatMap { case (tq, ord) =>
+      reader.termInfo(tq.term).map { ti =>
+        val w = sim.normalizedTermWeight(df(tq.term), tq.boost, 1f, stats)
+        val ub = w.maxScore(ti.maxFreq, ti.minDlByte, ti.minDl)
+        TermIter(reader.postings(ti, needPositions = false), w, ub, ord)
+      }
+    }.toArray
+    if (iters.isEmpty) return
+    iters.foreach(_.pi.nextDoc())
+
+    val norms = reader.norms
+    val doclens = reader.doclens
+    val byDoc = iters.clone() // sorted by current docID each round
+
+    var done = false
+    while (!done) {
+      java.util.Arrays.sort(byDoc, (a: TermIter, b: TermIter) =>
+        Integer.compare(a.pi.docID, b.pi.docID))
+      if (byDoc(0).pi.docID == Scorer.NoMoreDocs) done = true
+      else {
+        // pivot: first prefix whose UB sum beats the threshold
+        val theta = collector.threshold
+        var acc = 0f
+        var p = 0
+        var pivot = -1
+        while (p < byDoc.length && pivot == -1) {
+          if (byDoc(p).pi.docID == Scorer.NoMoreDocs) p = byDoc.length
+          else {
+            acc += byDoc(p).ub
+            // >= so an exact tie at the threshold is still evaluated (the
+            // docId tie-break may let it in); equality is a rare float event
+            if (acc >= theta) pivot = byDoc(p).pi.docID
+            else p += 1
+          }
+        }
+        if (pivot == -1) done = true // no prefix can compete
+        else if (byDoc(0).pi.docID == pivot) {
+          // block-max check before full evaluation
+          var blockAcc = 0f
+          var i = 0
+          while (i <= p && i < byDoc.length) {
+            val it = byDoc(i)
+            if (it.pi.docID <= pivot && it.pi.skipToBlockContaining(pivot))
+              blockAcc += it.pi.blockMaxScore(it.w)
+            i += 1
+          }
+          val competitive = blockAcc >= theta
+          if (competitive) {
+            // evaluate fully, summing in ORIGINAL clause order for float
+            // determinism vs the exhaustive scorer
+            var s = 0f
+            var j = 0
+            while (j < iters.length) {
+              val it = iters(j)
+              if (it.pi.docID < pivot) it.pi.advance(pivot)
+              if (it.pi.docID == pivot) s += it.w.score(it.pi.freq.toFloat, norms(pivot), doclens(pivot))
+              j += 1
+            }
+            collector.collect(s, docBase + pivot)
+          }
+          // advance all iterators sitting at pivot
+          var j = 0
+          while (j < iters.length) {
+            if (iters(j).pi.docID == pivot) iters(j).pi.nextDoc()
+            j += 1
+          }
+        } else {
+          // advance the furthest-behind iterator to the pivot
+          byDoc(0).pi.advance(pivot)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis._
+
+/** Token goldens re-expressed from the reference's own suite
+  * (/root/reference/src/test/analysis/standard/StandardAnalyzerTest.cpp). */
+class AnalysisSpec extends AnyFunSuite {
+
+  private val sa = StandardAnalyzer()
+
+  private def terms(a: Analyzer, s: String): Seq[String] =
+    a.analyze(s).map(_.term).toSeq
+
+  private def incrs(a: Analyzer, s: String): Seq[Int] =
+    a.analyze(s).map(_.posIncr).toSeq
+
+  private def types(s: String): Seq[String] =
+    ClassicScanner.tokenize(s).map(t => TokenType.names(t.tpe)).toSeq
+
+  test("alphanumeric") { // StandardAnalyzerTest.cpp:36-41
+    assert(terms(sa, "B2B") == Seq("b2b"))
+    assert(terms(sa, "2B") == Seq("2b"))
+  }
+
+  test("underscores are delimiters outside emails") { // :43-48
+    assert(terms(sa, "word_having_underscore") == Seq("word", "having", "underscore"))
+    assert(terms(sa, "word_with_underscore_and_stopwords") == Seq("word", "underscore", "stopwords"))
+  }
+
+  test("delimiters") { // :50-56
+    assert(terms(sa, "some-dashed-phrase") == Seq("some", "dashed", "phrase"))
+    assert(terms(sa, "dogs,chase,cats") == Seq("dogs", "chase", "cats"))
+    assert(terms(sa, "ac/dc") == Seq("ac", "dc"))
+  }
+
+  test("apostrophes") { // :58-68
+    assert(terms(sa, "O'Reilly") == Seq("o'reilly"))
+    assert(terms(sa, "you're") == Seq("you're"))
+    assert(terms(sa, "she's") == Seq("she"))
+    assert(terms(sa, "Jim's") == Seq("jim"))
+    assert(terms(sa, "don't") == Seq("don't"))
+    assert(terms(sa, "O'Reilly's") == Seq("o'reilly"))
+  }
+
+  test("t/s dash") { // :70-78
+    assert(terms(sa, "s-class") == Seq("s", "class"))
+    assert(terms(sa, "t-com") == Seq("t", "com"))
+    assert(terms(sa, "a-class") == Seq("class")) // 'a' is a stopword
+  }
+
+  test("company names") { // :80-85
+    assert(terms(sa, "AT&T") == Seq("at&t"))
+    assert(terms(sa, "Excite@Home") == Seq("excite@home"))
+  }
+
+  test("domain names incl. trailing-dot ACRONYM_DEP fixup") { // :87-103
+    assert(terms(sa, "www.nutch.org") == Seq("www.nutch.org"))
+    assert(terms(sa, "www.nutch.org.") == Seq("www.nutch.org"))
+    assert(types("www.nutch.org.") == Seq("<HOST>"))
+  }
+
+  test("email addresses") { // :105-111
+    assert(terms(sa, "test@example.com") == Seq("test@example.com"))
+    assert(terms(sa, "first.lastname@example.com") == Seq("first.lastname@example.com"))
+    assert(terms(sa, "first_lastname@example.com") == Seq("first_lastname@example.com"))
+    assert(types("test@example.com") == Seq("<EMAIL>"))
+  }
+
+  test("numeric") { // :113-123
+    assert(terms(sa, "21.35") == Seq("21.35"))
+    assert(terms(sa, "216.239.63.104") == Seq("216.239.63.104"))
+    assert(terms(sa, "1-2-3") == Seq("1-2-3"))
+    assert(terms(sa, "a1-b2-c3") == Seq("a1-b2-c3"))
+    assert(terms(sa, "a1-b-c3") == Seq("a1-b-c3"))
+    assert(terms(sa, "R2D2 C3PO") == Seq("r2d2", "c3po"))
+  }
+
+  test("text with numbers") { // :125-128
+    assert(terms(sa, "David has 5000 bones") == Seq("david", "has", "5000", "bones"))
+  }
+
+  test("various text") { // :130-136
+    assert(terms(sa, "C embedded developers wanted") == Seq("c", "embedded", "developers", "wanted"))
+    assert(terms(sa, "foo bar FOO BAR") == Seq("foo", "bar", "foo", "bar"))
+    assert(terms(sa, "foo      bar .  FOO <> BAR") == Seq("foo", "bar", "foo", "bar"))
+    assert(terms(sa, "\"QUOTED\" word") == Seq("quoted", "word"))
+  }
+
+  test("acronyms have dots stripped") { // :138-142
+    assert(terms(sa, "U.S.A.") == Seq("usa"))
+    assert(types("U.S.A.") == Seq("<ACRONYM>"))
+  }
+
+  test("C++ / C#") { // :144-148
+    assert(terms(sa, "C++") == Seq("c"))
+    assert(terms(sa, "C#") == Seq("c"))
+  }
+
+  test("compliance: file names and numerics") { // :150-178
+    assert(types("2004.jpg") == Seq("<HOST>"))
+    assert(types("62.46") == Seq("<HOST>"))
+    assert(terms(sa, "978-0-94045043-1") == Seq("978-0-94045043-1"))
+    assert(types("978-0-94045043-1") == Seq("<NUM>"))
+    assert(terms(sa, "78academyawards/rules/rule02.html") == Seq("78academyawards/rules/rule02.html"))
+    assert(types("78academyawards/rules/rule02.html") == Seq("<NUM>"))
+    assert(terms(sa, "2006-03-11t082958z_01_ban130523_rtridst_0_ozabs") ==
+      Seq("2006-03-11t082958z_01_ban130523_rtridst_0_ozabs"))
+    assert(terms(sa, "mid-20th") == Seq("mid-20th"))
+    assert(types("mid-20th") == Seq("<NUM>"))
+  }
+
+  test("compliance: many tokens") { // :180-187
+    assert(terms(sa,
+      "/money.cnn.com/magazines/fortune/fortune_archive/2007/03/19/8402357/index.htm safari-0-sheikh-zayed-grand-mosque.jpg") ==
+      Seq("money.cnn.com", "magazines", "fortune", "fortune", "archive/2007/03/19/8402357",
+        "index.htm", "safari-0-sheikh", "zayed", "grand", "mosque.jpg"))
+    assert(types("/money.cnn.com/magazines/fortune/fortune_archive/2007/03/19/8402357/index.htm safari-0-sheikh-zayed-grand-mosque.jpg") ==
+      Seq("<HOST>", "<ALPHANUM>", "<ALPHANUM>", "<ALPHANUM>", "<NUM>", "<HOST>", "<NUM>",
+        "<ALPHANUM>", "<ALPHANUM>", "<HOST>"))
+  }
+
+  test("max token length: skipped but posIncr bumped") { // :15-34
+    val sa5 = StandardAnalyzer(maxTokenLength = 5)
+    assert(terms(sa5, "ab cd toolong xy z") == Seq("ab", "cd", "xy", "z"))
+    assert(incrs(sa5, "ab cd toolong xy z") == Seq(1, 1, 2, 1))
+    val long255 = "a" * 255
+    assert(terms(sa, s"ab cd $long255 xy z") == Seq("ab", "cd", long255, "xy", "z"))
+    assert(terms(sa, s"ab cd ${long255}a xy z") == Seq("ab", "cd", "xy", "z"))
+  }
+
+  test("stop words accumulate position increments") {
+    // StopFilter.cpp:36-50 — gap spans the removed stop words
+    assert(incrs(sa, "the quick and the dead") == Seq(2, 3))
+    assert(terms(sa, "the quick and the dead") == Seq("quick", "dead"))
+  }
+
+  test("CJK chars tokenize one per char") {
+    assert(terms(sa, "中文abc") == Seq("中", "文", "abc"))
+    assert(types("中文") == Seq("<CJ>", "<CJ>"))
+  }
+
+  test("offsets") {
+    val toks = sa.analyze("foo U.S.A. bar").toSeq
+    assert(toks.map(t => (t.start, t.end)) == Seq((0, 3), (4, 10), (11, 14)))
+  }
+
+  test("whitespace analyzer") {
+    assert(terms(WhitespaceAnalyzer, "Dogs dogs  like\tcats") == Seq("Dogs", "dogs", "like", "cats"))
+  }
+
+  test("simple analyzer: letter runs lowercased") {
+    assert(terms(SimpleAnalyzer, "a b c d e") == Seq("a", "b", "c", "d", "e"))
+    assert(terms(SimpleAnalyzer, "Foo2Bar, baz!") == Seq("foo", "bar", "baz"))
+  }
+}
