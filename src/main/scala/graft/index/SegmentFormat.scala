@@ -483,7 +483,7 @@ final class PostingsIterator(
   /** Last docID of the current block (header-known even before decode). */
   def blockLastDoc: Int = curBlockLast
 
-  def blockMaxScore(w: TermWeight): Float =
+  def blockMaxScore(w: TermWeight): Double =
     w.maxScore(blockMaxFreqV, blockMinDlByteV, blockMinDlV)
 
   /** Move block headers forward (no payload decode) until the current block

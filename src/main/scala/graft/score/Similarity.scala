@@ -13,10 +13,10 @@ final case class CorpusStats(numDocs: Long, avgDocLength: Double) extends Serial
   * token count (both live in the segment's norms sidecars — quantized for
   * Lucene parity, exact for SQL-oracle parity). */
 trait TermWeight extends Serializable {
-  def score(freq: Float, normByte: Byte, exactDl: Int): Float
+  def score(freq: Float, normByte: Byte, exactDl: Int): Double
   /** Admissible upper bound given block-max metadata (max term freq and the
     * minimum doc length in the block) — powers block-max WAND. */
-  def maxScore(maxFreq: Int, minDlByte: Byte, minDl: Int): Float
+  def maxScore(maxFreq: Int, minDlByte: Byte, minDl: Int): Double
 }
 
 /** Pluggable scoring, mirroring the reference's Similarity extension point
@@ -86,10 +86,10 @@ private final class BM25Weight(idfBoost: Float, k1: Float, b: Float, avgdl: Doub
     val dl = SmallFloat.decodeDocLength(i.toByte)
     k1 * (1 - b + b * (dl / avgdl).toFloat)
   }
-  override def score(freq: Float, normByte: Byte, exactDl: Int): Float =
-    idfBoost * (freq * (k1 + 1)) / (freq + denomCache(normByte & 0xff))
-  override def maxScore(maxFreq: Int, minDlByte: Byte, minDl: Int): Float =
-    idfBoost * (maxFreq * (k1 + 1)) / (maxFreq + denomCache(minDlByte & 0xff))
+  override def score(freq: Float, normByte: Byte, exactDl: Int): Double =
+    (idfBoost * (freq * (k1 + 1)) / (freq + denomCache(normByte & 0xff))).toDouble
+  override def maxScore(maxFreq: Int, minDlByte: Byte, minDl: Int): Double =
+    (idfBoost * (maxFreq * (k1 + 1)) / (maxFreq + denomCache(minDlByte & 0xff))).toDouble
 }
 
 /** BM25 over exact doc lengths — double-precision math so a SQL engine
@@ -113,10 +113,10 @@ final case class BM25Exact(k1: Double = 1.2, b: Double = 0.75) extends Similarit
 
 private final class BM25ExactWeight(idfBoost: Double, k1: Double, b: Double, avgdl: Double)
   extends TermWeight {
-  override def score(freq: Float, normByte: Byte, exactDl: Int): Float =
-    (idfBoost * (freq * (k1 + 1)) / (freq + k1 * (1 - b + b * exactDl / avgdl))).toFloat
-  override def maxScore(maxFreq: Int, minDlByte: Byte, minDl: Int): Float =
-    (idfBoost * (maxFreq * (k1 + 1)) / (maxFreq + k1 * (1 - b + b * minDl / avgdl))).toFloat
+  override def score(freq: Float, normByte: Byte, exactDl: Int): Double =
+    idfBoost * (freq * (k1 + 1)) / (freq + k1 * (1 - b + b * exactDl / avgdl))
+  override def maxScore(maxFreq: Int, minDlByte: Byte, minDl: Int): Double =
+    idfBoost * (maxFreq * (k1 + 1)) / (maxFreq + k1 * (1 - b + b * minDl / avgdl))
 }
 
 /** The reference's DefaultSimilarity TF-IDF chain
@@ -161,8 +161,8 @@ case object ClassicTFIDF extends Similarity {
 }
 
 private final class ClassicWeight(value: Float) extends TermWeight {
-  override def score(freq: Float, normByte: Byte, exactDl: Int): Float =
-    math.sqrt(freq.toDouble).toFloat * value * SmallFloat.NormTable(normByte & 0xff)
-  override def maxScore(maxFreq: Int, minDlByte: Byte, minDl: Int): Float =
-    math.sqrt(maxFreq.toDouble).toFloat * value * SmallFloat.NormTable(minDlByte & 0xff)
+  override def score(freq: Float, normByte: Byte, exactDl: Int): Double =
+    (math.sqrt(freq.toDouble).toFloat * value * SmallFloat.NormTable(normByte & 0xff)).toDouble
+  override def maxScore(maxFreq: Int, minDlByte: Byte, minDl: Int): Double =
+    (math.sqrt(maxFreq.toDouble).toFloat * value * SmallFloat.NormTable(minDlByte & 0xff)).toDouble
 }

@@ -41,7 +41,7 @@ object BruteForce {
     * semantics in SegmentSearch (coord applied per BoolQ level, clause-order
     * summation). */
   def scoreDoc(q: Query, doc: Doc, sim: Similarity, st: CorpusStats,
-      dfm: Map[String, Long], queryNorm: Float): Option[Float] = q match {
+      dfm: Map[String, Long], queryNorm: Float): Option[Double] = q match {
 
     case TermQ(t, boost) =>
       val f = doc.freq(t)
@@ -68,7 +68,7 @@ object BruteForce {
         }
       }
 
-    case MatchAllQ => Some(queryNorm)
+    case MatchAllQ => Some(queryNorm.toDouble)
 
     case BoolQ(must, should, mustNot, msm) =>
       if (mustNot.exists(n => scoreDoc(n, doc, sim, st, dfm, queryNorm).isDefined)) None
@@ -81,7 +81,7 @@ object BruteForce {
           if (must.isEmpty && matchedOpt < math.max(1, msm)) None
           else if (msm > 0 && matchedOpt < msm) None
           else {
-            var s = 0.0f
+            var s = 0.0
             mustScores.foreach(o => s += o.get)
             shouldScores.foreach(o => o.foreach(v => s += v))
             val maxCoord = must.size + should.size

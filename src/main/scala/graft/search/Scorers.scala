@@ -10,7 +10,7 @@ trait Scorer {
   def docID: Int
   def nextDoc(): Int
   def advance(target: Int): Int
-  def score(): Float
+  def score(): Double
 }
 
 object Scorer {
@@ -26,7 +26,7 @@ final class TermScorer(
   override def docID: Int = pi.docID
   override def nextDoc(): Int = pi.nextDoc()
   override def advance(target: Int): Int = pi.advance(target)
-  override def score(): Float = {
+  override def score(): Double = {
     val d = pi.docID
     weight.score(pi.freq.toFloat, norms(d), doclens(d))
   }
@@ -85,8 +85,8 @@ final class ConjunctionScorer(subs: Array[Scorer]) extends Scorer {
     target
   }
 
-  override def score(): Float = {
-    var s = 0.0f
+  override def score(): Double = {
+    var s = 0.0
     var i = 0
     while (i < subs.length) { s += subs(i).score(); i += 1 }
     s
@@ -101,7 +101,7 @@ final class ConjunctionScorer(subs: Array[Scorer]) extends Scorer {
 final class DisjunctionSumScorer(subs: Array[Scorer], minShouldMatch: Int) extends Scorer {
   private var _doc = -1
   private var _nrMatchers = 0
-  private var _score = 0.0f
+  private var _score = 0.0
   private var started = false
 
   override def docID: Int = _doc
@@ -145,7 +145,7 @@ final class DisjunctionSumScorer(subs: Array[Scorer], minShouldMatch: Int) exten
     * lazily (they advance themselves on the next min-scan). */
   private def evaluate(): Boolean = {
     var n = 0
-    var s = 0.0f
+    var s = 0.0
     var i = 0
     while (i < subs.length) {
       if (subs(i).docID == _doc) { n += 1; s += subs(i).score() }
@@ -162,7 +162,7 @@ final class DisjunctionSumScorer(subs: Array[Scorer], minShouldMatch: Int) exten
   }
 
   def nrMatchers: Int = _nrMatchers
-  override def score(): Float = _score
+  override def score(): Double = _score
 }
 
 /** Anti join: required minus prohibited (reference ReqExclScorer.cpp:21-60). */
@@ -171,7 +171,7 @@ final class ReqExclScorer(req: Scorer, excl: Scorer) extends Scorer {
   override def docID: Int = req.docID
   override def nextDoc(): Int = { toNonExcluded(req.nextDoc()) }
   override def advance(target: Int): Int = { toNonExcluded(req.advance(target)) }
-  override def score(): Float = req.score()
+  override def score(): Double = req.score()
   private def toNonExcluded(first: Int): Int = {
     var d = first
     if (!exclStarted) { excl.nextDoc(); exclStarted = true }
@@ -192,7 +192,7 @@ final class ReqOptSumScorer(req: Scorer, opt: DisjunctionSumScorer) extends Scor
   override def docID: Int = req.docID
   override def nextDoc(): Int = req.nextDoc()
   override def advance(target: Int): Int = req.advance(target)
-  override def score(): Float = {
+  override def score(): Double = {
     val d = req.docID
     val base = req.score()
     _optMatchers = 0
@@ -206,12 +206,12 @@ final class ReqOptSumScorer(req: Scorer, opt: DisjunctionSumScorer) extends Scor
 }
 
 /** Constant-score full scan (reference MatchAllDocsQuery.cpp). */
-final class MatchAllScorer(maxDoc: Int, value: Float) extends Scorer {
+final class MatchAllScorer(maxDoc: Int, value: Double) extends Scorer {
   private var _doc = -1
   override def docID: Int = if (_doc >= maxDoc) Scorer.NoMoreDocs else _doc
   override def nextDoc(): Int = { _doc += 1; docID }
   override def advance(target: Int): Int = { _doc = math.max(_doc + 1, target); docID }
-  override def score(): Float = value
+  override def score(): Double = value
 }
 
 /** Exact-phrase: docID leapfrog then in-doc sorted position intersection
@@ -229,7 +229,7 @@ final class ExactPhraseScorer(
       override def docID: Int = pi.docID
       override def nextDoc(): Int = pi.nextDoc()
       override def advance(t: Int): Int = pi.advance(t)
-      override def score(): Float = 0f
+      override def score(): Double = 0.0
     }
   }
   private val inner = new ConjunctionScorer(conj)
@@ -279,7 +279,7 @@ final class ExactPhraseScorer(
     count
   }
 
-  override def score(): Float = {
+  override def score(): Double = {
     val d = inner.docID
     weight.score(_freq.toFloat, norms(d), doclens(d))
   }

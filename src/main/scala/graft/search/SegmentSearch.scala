@@ -3,30 +3,30 @@ package graft.search
 import graft.index.{PostingsIterator, SegmentReader}
 import graft.score.{CorpusStats, Similarity, TermWeight}
 
-final case class ScoredDoc(docId: Long, score: Float)
+final case class ScoredDoc(docId: Long, score: Double)
 
 /** Bounded top-k min-heap with the reference's tie-break: score desc, then
   * docID asc (/root/reference/src/core/search/HitQueue.cpp:20-26;
   * sentinel-prefill idea from TopScoreDocCollector.cpp:18-34). Root = the
   * current worst hit; `threshold` feeds WAND pruning. */
 final class TopKCollector(k: Int) {
-  private val scores = new Array[Float](k)
+  private val scores = new Array[Double](k)
   private val docs = new Array[Long](k)
   private var size = 0
 
   /** Worse-than ordering for the heap: a is worse than b. */
-  @inline private def worse(sa: Float, da: Long, sb: Float, db: Long): Boolean =
+  @inline private def worse(sa: Double, da: Long, sb: Double, db: Long): Boolean =
     sa < sb || (sa == sb && da > db)
 
   def full: Boolean = size == k
   /** Current kth score (−∞ until full). */
-  def threshold: Float = if (size < k) Float.NegativeInfinity else scores(0)
+  def threshold: Double = if (size < k) Double.NegativeInfinity else scores(0)
   def worstDoc: Long = if (size == 0) Long.MaxValue else docs(0)
 
-  def insertable(score: Float, doc: Long): Boolean =
+  def insertable(score: Double, doc: Long): Boolean =
     size < k || worse(scores(0), docs(0), score, doc)
 
-  def collect(score: Float, doc: Long): Unit = {
+  def collect(score: Double, doc: Long): Unit = {
     if (size < k) {
       scores(size) = score; docs(size) = doc; size += 1
       var i = size - 1
@@ -147,7 +147,7 @@ object SegmentSearch {
           override def docID: Int = base.docID
           override def nextDoc(): Int = base.nextDoc()
           override def advance(t: Int): Int = base.advance(t)
-          override def score(): Float = {
+          override def score(): Double = {
             val raw = base.score() // must run first: fixes overlap for this doc
             raw * sim.coord(overlapFn(), maxCoord)
           }
@@ -188,7 +188,7 @@ object SegmentSearch {
       stats: CorpusStats, df: String => Long, collector: TopKCollector): Unit = {
     val docBase = reader.meta.docBase
 
-    final case class TermIter(pi: PostingsIterator, w: TermWeight, ub: Float, ord: Int)
+    final case class TermIter(pi: PostingsIterator, w: TermWeight, ub: Double, ord: Int)
     val iters: Array[TermIter] = terms.zipWithIndex.flatMap { case (tq, ord) =>
       reader.termInfo(tq.term).map { ti =>
         val w = sim.normalizedTermWeight(df(tq.term), tq.boost, 1f, stats)
@@ -211,7 +211,7 @@ object SegmentSearch {
       else {
         // pivot: first prefix whose UB sum beats the threshold
         val theta = collector.threshold
-        var acc = 0f
+        var acc = 0.0
         var p = 0
         var pivot = -1
         while (p < byDoc.length && pivot == -1) {
@@ -227,7 +227,7 @@ object SegmentSearch {
         if (pivot == -1) done = true // no prefix can compete
         else if (byDoc(0).pi.docID == pivot) {
           // block-max check before full evaluation
-          var blockAcc = 0f
+          var blockAcc = 0.0
           var i = 0
           while (i <= p && i < byDoc.length) {
             val it = byDoc(i)
@@ -239,7 +239,7 @@ object SegmentSearch {
           if (competitive) {
             // evaluate fully, summing in ORIGINAL clause order for float
             // determinism vs the exhaustive scorer
-            var s = 0f
+            var s = 0.0
             var j = 0
             while (j < iters.length) {
               val it = iters(j)
