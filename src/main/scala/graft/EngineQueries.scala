@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, IndexConfig, IndexMetaIO}
+import graft.score.{BM25Exact, Similarity}
+import graft.search.{IndexSearcher, Query}
+
+/** Engine-backed entries for the driver harness: build (once, cached) a
+  * real segment index over the `documents` table with the whitespace
+  * analyzer, so BM25 scores are reproducible by the DuckDB SQL oracle
+  * (BM25Exact: exact doc lengths, double math — scores match the oracle's
+  * CTE to 1e-15 and are compared at round(…, 4)). */
+object EngineQueries {
+
+  private val searchers = scala.collection.concurrent.TrieMap.empty[String, IndexSearcher]
+
+  /** docIDs: the builder assigns docId = rank of url; urls are zero-padded
+    * doc_ids, so engine docId == documents.doc_id. */
+  def searcher(spark: SparkSession, sfDir: String): IndexSearcher =
+    searchers.getOrElseUpdate(sfDir, {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-index-" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
+      val committed = IndexMetaIO.readLatest(dir)
+      if (committed.isEmpty) {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val corpus = docs.select(format_string("%012d", col("doc_id")).as("url"), col("text"))
+        IndexBuilder.build(spark, corpus,
+          IndexConfig(dir, analyzer = "whitespace", docsPerSegment = 256,
+            storePositions = true, writeDocMap = false))
+      }
+      new IndexSearcher(spark, dir)
+    })
+
+  private def toDF(spark: SparkSession, hits: Array[graft.search.ScoredDoc]): DataFrame = {
+    import spark.implicits._
+    hits.map(h => (h.docId, BigDecimal(h.score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq.toDF("doc_id", "score")
+  }
+
+  def topK(spark: SparkSession, sfDir: String, q: Query, k: Int,
+      sim: Similarity = BM25Exact()): DataFrame = {
+    val s = searcher(spark, sfDir)
+    toDF(spark, s.search(q, k, sim))
+  }
+
+  /** All docs matching (ordered by docId) — for phrase/boolean match sets. */
+  def matchingDocs(spark: SparkSession, sfDir: String, q: Query): DataFrame = {
+    import spark.implicits._
+    val s = searcher(spark, sfDir)
+    val hits = s.search(q, s.meta.numDocs.toInt, BM25Exact())
+    hits.map(_.docId).sorted.toSeq.toDF("doc_id")
+  }
+}

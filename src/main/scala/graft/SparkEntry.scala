@@ -1,13 +1,323 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
+import graft.search.{BoolQ, PhraseQ, TermQ}
+
+/** Driver contract (see the builder prompt): `queries` are the operator
+  * inventory exercised against the driver's parquet tables; `oracleSql` are
+  * DuckDB twins of each. Engine-backed entries (bm25_*, phrase_match) run
+  * the actual segment index + scorers; their oracles recompute BM25 in SQL
+  * over the same whitespace tokenization (BM25Exact mode — SURVEY.md §5.2-5). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: BM25 top-10 on sf0.001 documents through the full engine. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EngineQueries.topK(spark, "/root/testdata/sf0.001",
+      BoolQ(should = Seq(TermQ("window"), TermQ("spark"), TermQ("merge"))), 10)
+
+  // ---- shared oracle-SQL fragments -------------------------------------
+
+  /** Whitespace tokenization CTEs shared by the text oracles. */
+  private val tokCte =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tokf AS (SELECT doc_id, term FROM tok WHERE term <> '')""".stripMargin
+
+  /** BM25 (k1=1.2, b=0.75, Lucene idf) score CTE over whitespace tokens —
+    * the SQL twin of BM25Exact. */
+  private def bm25Cte(termList: String, extraTf: String = ""): String =
+    s"""$tokCte,
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS f FROM tokf GROUP BY 1, 2),
+       |dl AS (SELECT d.doc_id, coalesce(t.c, 0)::DOUBLE AS dl FROM documents d
+       |       LEFT JOIN (SELECT doc_id, count(*) AS c FROM tokf GROUP BY 1) t USING (doc_id)),
+       |st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |              (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+       |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM (SELECT DISTINCT doc_id, term FROM tokf) GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |              sum( ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+       |                   * (tf.f * (1.2 + 1)) / (tf.f + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+       |       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |       WHERE tf.term IN ($termList) GROUP BY 1$extraTf)""".stripMargin
+
+  private val stopList = graft.analysis.Filters.EnglishStopWords.toSeq.sorted
+    .map(w => s"'$w'").mkString(", ")
+
+  // ---- queries ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- relational core (scan/filter/agg/join/window/setop/anti)
+    "q1_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    "q2_join_topk" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    "q3_filter" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    "q4_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .filter(col("rn") <= 3 && col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("rn"),
+          round(col("value") - coalesce(col("prev_value"), lit(0.0)), 4).as("delta"))
+    }),
+
+    "q5_setop" -> ((s, dir) => {
+      val a = tbl(s, dir, "lineitem").filter(col("l_quantity") > 49)
+        .select(col("l_partkey").as("partkey")).distinct()
+      val b = tbl(s, dir, "part").filter(col("p_size") > 40)
+        .select(col("p_partkey").as("partkey")).distinct()
+      a.intersect(b)
+    }),
+
+    "q6_anti" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val big = tbl(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("o_orderkey")).distinct()
+      o.join(big, Seq("o_orderkey"), "left_anti").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // -- text statistics over documents (engine sub-operators, SURVEY §2.4)
+    "df_counts" -> ((s, dir) =>
+      TextOps.docFreqs(tbl(s, dir, "documents"))
+        .orderBy(desc("df"), asc("term")).limit(50)),
+
+    "doclen" -> ((s, dir) => TextOps.docLengths(tbl(s, dir, "documents"))),
+
+    "corpus_stats" -> ((s, dir) => {
+      val d = TextOps.docLengths(tbl(s, dir, "documents"))
+      d.agg(count(lit(1)).as("n"), sum("dl").as("tot_tokens"))
+        .select(col("n"), col("tot_tokens"),
+          round(col("tot_tokens").cast("double") / col("n"), 4).as("avgdl"))
+    }),
+
+    "tf_top" -> ((s, dir) =>
+      TextOps.termFreqs(tbl(s, dir, "documents")).filter(col("freq") >= 3)),
+
+    // -- the engine itself (segment index + BM25 + WAND + phrase)
+    "bm25_topk" -> ((s, dir) =>
+      EngineQueries.topK(s, dir,
+        BoolQ(should = Seq(TermQ("window"), TermQ("spark"), TermQ("merge"))), 10)),
+
+    "bm25_and" -> ((s, dir) =>
+      EngineQueries.topK(s, dir,
+        BoolQ(must = Seq(TermQ("window"), TermQ("batch"))), 10)),
+
+    "bm25_not" -> ((s, dir) =>
+      EngineQueries.topK(s, dir,
+        BoolQ(must = Seq(TermQ("window")), mustNot = Seq(TermQ("spark"))), 10)),
+
+    "phrase_match" -> ((s, dir) =>
+      EngineQueries.matchingDocs(s, dir, PhraseQ(Seq("key", "agg")))),
+
+    // -- dedup family
+    "dedup_exact" -> ((s, dir) => TextOps.dedupExact(tbl(s, dir, "documents"))),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(tbl(s, dir, "documents"), w = 3, minJaccard = 0.8)),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashPairs(tbl(s, dir, "documents"), w = 3, minJaccard = 0.8,
+        bands = 32, rowsPerBand = 4)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(tbl(s, dir, "documents"), maxDist = 3)
+        .select("doc_a", "doc_b", "dist")),
+
+    // -- similarity search
+    "ann_cosine" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 5)
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 5)
+    }),
+
+    // -- text analysis
+    "lang_id" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
+    "quality" -> ((s, dir) => TextOps.qualityScore(tbl(s, dir, "documents"))),
+    "token_count" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
+    "fingerprint" -> ((s, dir) => TextOps.fingerprint(tbl(s, dir, "documents"))),
+
+    // -- multimodal plumbing (binary payload → batched stub decode)
+    "multimodal_stub" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, Multimodal.eventsAsMedia(tbl(s, dir, "events")))
+        .toDF().select("media_id", "kind", "byte_len", "first_byte")),
+
+    // rows-only (no SQL-expressible oracle): full feature row incl. checksum
+    "multimodal_checksum" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, Multimodal.eventsAsMedia(tbl(s, dir, "events"))).toDF())
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_price, count(*)::BIGINT AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q2_join_topk" ->
+      """SELECT c_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q3_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*)::BIGINT AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q4_window" ->
+      """SELECT user_id, event_id, rn, round(value - coalesce(prev_value, 0), 4) AS delta FROM (
+        |  SELECT user_id, event_id, value, ts,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events) WHERE rn <= 3 AND user_id < 50""".stripMargin,
+
+    "q5_setop" ->
+      """SELECT DISTINCT l_partkey AS partkey FROM lineitem WHERE l_quantity > 49
+        |INTERSECT
+        |SELECT DISTINCT p_partkey AS partkey FROM part WHERE p_size > 40""".stripMargin,
+
+    "q6_anti" ->
+      """SELECT count(*)::BIGINT AS cnt FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin,
+
+    "df_counts" ->
+      s"""$tokCte
+         |SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tokf
+         |GROUP BY 1 ORDER BY df DESC, term LIMIT 50""".stripMargin,
+
+    "doclen" ->
+      s"""$tokCte
+         |SELECT d.doc_id, coalesce(t.dl, 0)::BIGINT AS dl FROM documents d
+         |LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY 1) t USING (doc_id)""".stripMargin,
+
+    "corpus_stats" ->
+      s"""$tokCte
+         |SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         |       count(*)::BIGINT AS tot_tokens,
+         |       round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 4) AS avgdl
+         |FROM tokf""".stripMargin,
+
+    "tf_top" ->
+      s"""$tokCte
+         |SELECT doc_id, term, count(*)::BIGINT AS freq FROM tokf
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "bm25_topk" ->
+      s"""${bm25Cte("'window', 'spark', 'merge'")}
+         |SELECT doc_id, round(score, 4) AS score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "bm25_and" ->
+      s"""${bm25Cte("'window', 'batch'", " HAVING count(DISTINCT tf.term) = 2")}
+         |SELECT doc_id, round(score, 4) AS score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "bm25_not" ->
+      s"""${bm25Cte("'window'")}
+         |SELECT doc_id, round(score, 4) AS score FROM sc
+         |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tokf WHERE term = 'spark')
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "phrase_match" ->
+      """SELECT doc_id FROM documents
+        |WHERE ' ' || text || ' ' LIKE '% key agg %' ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |min(doc_id) AS keeper, count(*)::BIGINT AS group_size
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_jaccard" -> jaccardOracle,
+    "dedup_minhash" -> jaccardOracle,
+
+    "ann_cosine" ->
+      """SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.embedding, e.embedding) AS sim,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5) WHERE rank <= 5""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |r AS (SELECT doc_id, CASE WHEN len(toks) > 0
+         |        THEN len(list_filter(toks, x -> list_contains([$stopList], x)))::DOUBLE / len(toks)
+         |        ELSE 0 END AS ratio FROM t)
+         |SELECT doc_id, round(ratio, 4) AS stop_ratio,
+         |       CASE WHEN ratio >= 0.1 THEN 'en' ELSE 'other' END AS lang_guess FROM r""".stripMargin,
+
+    "quality" ->
+      """WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)
+        |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  round(CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0 END, 4) AS distinct_ratio,
+        |  round(CASE WHEN len(toks) > 0 THEN list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE / len(toks) ELSE 0 END, 4) AS mean_token_len,
+        |  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text) ELSE 0 END, 4) AS punct_ratio
+        |FROM t""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens
+        |FROM documents""".stripMargin,
+
+    "fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "multimodal_stub" ->
+      """SELECT event_id AS media_id, event_type AS kind,
+        |length(props)::BIGINT AS byte_len, ascii(props) AS first_byte FROM events""".stripMargin
+  )
+
+  private def jaccardOracle: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      |      FROM t, unnest(generate_series(1, len(toks) - 2)) u(i) WHERE len(toks) >= 3),
+      |sd AS (SELECT DISTINCT doc_id, sh FROM s),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+      |          FROM sd a JOIN sd b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(ic::DOUBLE / (ca.n + cb.n - ic), 4) AS jac
+      |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+      |WHERE ic::DOUBLE / (ca.n + cb.n - ic) >= 0.8""".stripMargin
 }

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine is the exactness baseline (a broadcast-join +
+  * codegen'd dot product — fine when the query set is small); the LSH
+  * variant buckets by random-hyperplane signs so each query only scans its
+  * bucket — the 100 TB path (bucket cardinality ~ n/2^bits, tunable). */
+object Ann {
+
+  /** Cosine similarity of two float-array columns, computed in double with
+    * left-fold summation (matches DuckDB's list_cosine_similarity within
+    * 1e-15; `aggregate`/`zip_with` are Catalyst codegen'd). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k cosine neighbors for the query vectors (broadcast the
+    * small query side; the corpus side streams — one narrow pass + a top-k
+    * per query via window). */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val joined = embeddings.as("e")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        col("e.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("e.vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("e.embedding")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /** Random-hyperplane signature: bit b = sign of dot(v, h_b) where h_b is
+    * a deterministic pseudo-random hyperplane derived from xxhash64(b, dim)
+    * — all expression-level, no UDF, no shuffle. */
+  def lshSignature(v: Column, dim: Int, bits: Int): Column =
+    (0 until bits).map { b =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, i) => {
+          // hash → pseudo-random coefficient in [-1, 1)
+          val h = xxhash64(lit(b), i)
+          x.cast("double") * (h.cast("double") / lit(Long.MaxValue.toDouble))
+        }),
+        lit(0.0), (a2, x) => a2 + x)
+      when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via LSH buckets: query and corpus vectors sharing a signature
+    * bucket are compared exactly; per-query top-k of the candidates.
+    * Recall < 1 by construction (report alongside brute force). */
+  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      dim: Int = 64, bits: Int = 8): DataFrame = {
+    val sigE = embeddings.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), dim, bits).as("bucket"))
+    val sigQ = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      lshSignature(col("embedding"), dim, bits).as("bucket"))
+    val cands = sigE.join(broadcast(sigQ), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for web-scale corpora. All stages are Catalyst
+  * expressions (zip_with / transform / aggregate / xxhash64 — codegen'd, no
+  * UDFs) so MinHash signatures are computed in a single narrow projection:
+  * at 100 TB the only shuffles are the band-bucket join (keys are 64-bit
+  * hashes — uniformly distributed, no skew) and the final pair dedup. */
+object Dedup {
+
+  /** Word w-shingles of the whitespace token stream, as a distinct array
+    * per doc (no shuffle). */
+  def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val sh = when(size(toks) >= w,
+      array_distinct(transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+    ).otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), sh.as("shingles"))
+  }
+
+  /** All pairs (a < b) with shingle-set Jaccard >= minJaccard, via an
+    * inverted shingle join (exact; the O(n²) oracle path — candidates are
+    * bounded by shared-shingle pairs, fine at test scale; MinHash below is
+    * the 100 TB path). */
+  def jaccardPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, w).cache()
+    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val inter = exploded.as("a").join(exploded.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ic"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val j = inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ic").cast("double") / (col("sa.n") + col("sb.n") - col("ic"))).as("jac"))
+    j.filter(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** MinHash signature: perms[p] = min over shingles of xxhash64(sh, p).
+    * One projection, no shuffle. */
+  def minHashSignatures(docs: DataFrame, w: Int = 3, numPerms: Int = 64): DataFrame =
+    shingles(docs, w).select(col("doc_id"), col("shingles"),
+      transform(sequence(lit(0), lit(numPerms - 1)),
+        p => aggregate(col("shingles"), lit(Long.MaxValue),
+          (acc, s) => least(acc, xxhash64(s, p)))).as("sig"))
+
+  /** MinHash + LSH banding: candidates share a band; candidates are then
+    * verified with exact Jaccard over shingle sets (array_intersect /
+    * array_union — still no UDF). bands × rowsPerBand = numPerms.
+    * 16×4 at j=0.8 → recall 1-(1-0.8^4)^16 ≈ 0.9998. */
+  def minHashPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.8,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minHashSignatures(docs, w, bands * rowsPerBand).cache()
+    val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .toDF("doc_id", "band", "bucket")
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
+    val verified = withSets.select(col("doc_a"), col("doc_b"),
+      (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb")))).as("jac"))
+    verified.filter(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sign of the vote sum
+    * of xxhash64(token) bits. Single projection, no shuffle. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    // one vote expression per bit (Scala-side unroll: shift amounts must be
+    // literals), summed into the 64-bit fingerprint
+    val sim = (0 until 64).map { b =>
+      val vote = aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(vote > 0L, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Hamming-distance SimHash pairs (≤ maxDist) by exact comparison over a
+    * band join on 16-bit chunks (any pair within distance d shares at least
+    * one of 4 chunks when d ≤ 3). */
+  def simHashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simHash(docs).cache()
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "simhash", "chunk", "val")
+    val cands = chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+    cands.select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+}
