@@ -1,24 +1,125 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.SyntheticCorpus
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.score.BM25
+import graft.search.{BoolQ, IndexSearcher, Query, TermQ}
+
+/** Benchmark main — one JSON line on stdout.
+  *
+  * Measures, per BASELINE.md:
+  *  1. index-build throughput (docs/sec) on the synthetic web-pages table
+  *     at TWO parallelism levels (local[N/4] vs local[N]) on identical
+  *     parquet input → scaling efficiency (the sandbox stand-in for the
+  *     north rule's N vs 4N executors criterion);
+  *  2. BM25 top-10 query throughput over the built index (block-max WAND
+  *     vs exhaustive);
+  *  3. the SparkEntry query battery on SPARK_GRAFT_SF_DIR.
+  */
 object Bench {
+
+  private def newSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lowCpus = math.max(1, cpus / 4)
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "240000").toLong
+    val work = Files.createTempDirectory("graft-bench").toString
+
+    // ---- materialize the synthetic web-pages corpus once (shared input)
+    val corpusPath = s"$work/pages"
+    locally {
+      val s = newSession(cpus)
+      SyntheticCorpus.generate(s, benchDocs, seed = 42, avgLen = 120, vocab = 50000)
+        .write.mode("overwrite").parquet(corpusPath)
+      // JIT warm-up build on a slice so the first measured run isn't cold
+      IndexBuilder.build(s, s.read.parquet(corpusPath).limit(10000),
+        IndexConfig(s"$work/idx-warmup", docsPerSegment = 2048,
+          storePositions = false, writeDocMap = false))
+      s.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def buildAt(n: Int, out: String): Double = {
+      val s = newSession(n)
+      val corpus = s.read.parquet(corpusPath)
+      val (_, sec) = time {
+        IndexBuilder.build(s, corpus, IndexConfig(out,
+          docsPerSegment = 2048, storePositions = false, writeDocMap = false))
+      }
+      s.stop()
+      sec
+    }
+
+    // ---- index-build scaling: N/4 then N on identical input
+    val lowSec = buildAt(lowCpus, s"$work/idx-low")
+    val highSec = buildAt(cpus, s"$work/idx-high")
+    val lowThr = benchDocs / lowSec
+    val highThr = benchDocs / highSec
+    val scalingEff = (highThr / lowThr) / (cpus.toDouble / lowCpus)
+
+    // ---- query throughput over the built index
+    val spark = newSession(cpus)
+    val searcher = new IndexSearcher(spark, s"$work/idx-high")
+    val rnd = new scala.util.Random(42)
+    def zipfTerm(): String = "w" + math.min(49999,
+      math.pow(50000.0, rnd.nextDouble()).toInt)
+    def rareTerm(): String = "w" + (5000 + rnd.nextInt(40000))
+    // realistic web-query mix: zipf-sampled disjunctions plus rare+common
+    // combinations (the shape where WAND's threshold pruning pays off)
+    val queryBatch: Seq[(String, Query)] = (1 to 64).map { i =>
+      s"q$i" -> (i % 2 match {
+        case 0 => BoolQ(should = Seq.fill(2 + rnd.nextInt(3))(TermQ(zipfTerm())))
+        case _ => BoolQ(should = Seq(TermQ(rareTerm()), TermQ(zipfTerm()), TermQ(zipfTerm())))
+      })
+    }
+    // warm the per-executor reader caches + df paths
+    searcher.searchBatch(queryBatch.take(4), 10, BM25())
+    val (_, exhSec) = time(searcher.searchBatch(queryBatch, 10, BM25(), useWand = false))
+    val (_, wandSec) = time(searcher.searchBatch(queryBatch, 10, BM25(), useWand = true))
+    val wandQps = queryBatch.size / wandSec
+    val exhQps = queryBatch.size / exhSec
+
+    // ---- SparkEntry battery on the driver's SF dir
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+      }
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+
+    val extra =
+      f""""index_build":{"docs":$benchDocs,"low_cpus":$lowCpus,"low_secs":$lowSec%.2f,""" +
+        f""""low_docs_per_sec":$lowThr%.0f,"high_cpus":$cpus,"high_secs":$highSec%.2f,""" +
+        f""""high_docs_per_sec":$highThr%.0f,"scaling_efficiency":$scalingEff%.3f},""" +
+        f""""query_throughput":{"batch_queries":${queryBatch.size},"wand_qps":$wandQps%.1f,""" +
+        f""""exhaustive_qps":$exhQps%.1f,"wand_speedup":${exhSec / wandSec}%.2f}"""
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$extra}""")
     spark.stop()
   }
 }

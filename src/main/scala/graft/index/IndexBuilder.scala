@@ -77,16 +77,20 @@ object IndexBuilder {
       .filter(m => m.analyzer == cfg.analyzer && m.hasPositions == cfg.storePositions)
     val committedIds = committed.map(_.segId).toSet
 
-    // (1) deterministic dense docIDs: global url order → rank
-    val sorted = corpus.select($"url", $"text").as[(String, String)]
+    // (1) deterministic dense docIDs: global url order → rank. Persist the
+    // sorted base BEFORE zipWithIndex: its internal count job and the
+    // downstream consumption then both read the cached sort instead of
+    // re-sorting (one wide sort total).
+    val sortedBase = corpus.select($"url", $"text").as[(String, String)]
       .orderBy($"url")
       .rdd
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val sorted = sortedBase
       .zipWithIndex()
       .map { case ((url, text), id) => (id, url, text) }
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
 
     try {
-      val numDocs = sorted.count()
+      val numDocs = sortedBase.count()
       val dps = cfg.docsPerSegment
       val numSegments = math.max(1, ((numDocs + dps - 1) / dps).toInt)
 
@@ -133,7 +137,7 @@ object IndexBuilder {
         allSegs)
       IndexMetaIO.writeCommit(cfg.indexDir, meta)
       BuildReport(numDocs, numSegments, metas.size, committed.size, meta)
-    } finally sorted.unpersist()
+    } finally sortedBase.unpersist()
   }
 
   /** Analyze one doc into posting rows + the doc-length sentinel row.

@@ -38,33 +38,45 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
-  /** Random-hyperplane signature: bit b = sign of dot(v, h_b) where h_b is
-    * a deterministic pseudo-random hyperplane derived from xxhash64(b, dim)
-    * — all expression-level, no UDF, no shuffle. */
-  def lshSignature(v: Column, dim: Int, bits: Int): Column =
+  /** Random-hyperplane signature for one table: bit b = sign of
+    * dot(v, h_{table,b}) where the hyperplane coefficients come from
+    * xxhash64(table*bits+b, i) — all expression-level, no UDF, no shuffle. */
+  def lshSignature(v: Column, dim: Int, bits: Int, table: Int = 0): Column =
     (0 until bits).map { b =>
       val dot = aggregate(
         zip_with(v, sequence(lit(0), lit(dim - 1)), (x, i) => {
           // hash → pseudo-random coefficient in [-1, 1)
-          val h = xxhash64(lit(b), i)
+          val h = xxhash64(lit(table * bits + b), i)
           x.cast("double") * (h.cast("double") / lit(Long.MaxValue.toDouble))
         }),
         lit(0.0), (a2, x) => a2 + x)
       when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN via LSH buckets: query and corpus vectors sharing a signature
-    * bucket are compared exactly; per-query top-k of the candidates.
+  /** One (table, bucket) row per vector per table. */
+  private def bucketed(df: DataFrame, idCol: String, dim: Int, bits: Int,
+      tables: Int): DataFrame =
+    df.select(col(idCol), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        lshSignature(col("embedding"), dim, bits, t)): _*)))
+      .toDF(idCol, "embedding", "table", "bucket")
+
+  /** ANN via multi-table random-hyperplane LSH: candidates share a bucket
+    * in ANY of `tables` tables (union), then exact cosine + per-query
+    * top-k. Multi-table is the standard recall lever: miss probability is
+    * (1 - p^bits)^tables for bit-agreement probability p.
     * Recall < 1 by construction (report alongside brute force). */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
-      dim: Int = 64, bits: Int = 8): DataFrame = {
-    val sigE = embeddings.select(col("vec_id"), col("embedding"),
-      lshSignature(col("embedding"), dim, bits).as("bucket"))
-    val sigQ = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      lshSignature(col("embedding"), dim, bits).as("bucket"))
-    val cands = sigE.join(broadcast(sigQ), Seq("bucket"))
+      dim: Int = 64, bits: Int = 8, tables: Int = 8): DataFrame = {
+    val sigE = bucketed(embeddings, "vec_id", dim, bits, tables)
+    val sigQ = bucketed(queries.select(col("vec_id").as("query_id"), col("embedding")),
+      "query_id", dim, bits, tables)
+      .select(col("query_id"), col("embedding").as("qv"), col("table"), col("bucket"))
+    val cands = sigE.join(broadcast(sigQ), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("embedding"))
+      .distinct()
+      .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("embedding")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w))

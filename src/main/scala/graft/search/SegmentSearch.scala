@@ -188,76 +188,101 @@ object SegmentSearch {
       stats: CorpusStats, df: String => Long, collector: TopKCollector): Unit = {
     val docBase = reader.meta.docBase
 
-    final case class TermIter(pi: PostingsIterator, w: TermWeight, ub: Double, ord: Int)
-    val iters: Array[TermIter] = terms.zipWithIndex.flatMap { case (tq, ord) =>
+    val found = terms.flatMap { tq =>
       reader.termInfo(tq.term).map { ti =>
         val w = sim.normalizedTermWeight(df(tq.term), tq.boost, 1f, stats)
-        val ub = w.maxScore(ti.maxFreq, ti.minDlByte, ti.minDl)
-        TermIter(reader.postings(ti, needPositions = false), w, ub, ord)
+        (reader.postings(ti, needPositions = false), w,
+          w.maxScore(ti.maxFreq, ti.minDlByte, ti.minDl))
       }
-    }.toArray
-    if (iters.isEmpty) return
-    iters.foreach(_.pi.nextDoc())
+    }
+    if (found.isEmpty) return
+    val m = found.size
+    val pis = found.map(_._1).toArray
+    val ws = found.map(_._2).toArray
+    val ubs = found.map(_._3).toArray
+    var ii = 0
+    while (ii < m) { pis(ii).nextDoc(); ii += 1 }
 
     val norms = reader.norms
     val doclens = reader.doclens
-    val byDoc = iters.clone() // sorted by current docID each round
+    // order = iterator indices sorted by current docID; maintained by
+    // insertion sort each round (m is small, order is nearly sorted, no
+    // allocation per round)
+    val order = Array.tabulate(m)(identity)
 
     var done = false
     while (!done) {
-      java.util.Arrays.sort(byDoc, (a: TermIter, b: TermIter) =>
-        Integer.compare(a.pi.docID, b.pi.docID))
-      if (byDoc(0).pi.docID == Scorer.NoMoreDocs) done = true
+      var a = 1
+      while (a < m) {
+        val v = order(a)
+        val dv = pis(v).docID
+        var b = a - 1
+        while (b >= 0 && pis(order(b)).docID > dv) { order(b + 1) = order(b); b -= 1 }
+        order(b + 1) = v
+        a += 1
+      }
+      if (pis(order(0)).docID == Scorer.NoMoreDocs) done = true
       else {
-        // pivot: first prefix whose UB sum beats the threshold
+        // pivot: first UB-prefix reaching the threshold (>= so exact ties
+        // are still evaluated — the docId tie-break may let them in)
         val theta = collector.threshold
         var acc = 0.0
         var p = 0
         var pivot = -1
-        while (p < byDoc.length && pivot == -1) {
-          if (byDoc(p).pi.docID == Scorer.NoMoreDocs) p = byDoc.length
+        while (p < m && pivot == -1) {
+          val d = pis(order(p)).docID
+          if (d == Scorer.NoMoreDocs) p = m
           else {
-            acc += byDoc(p).ub
-            // >= so an exact tie at the threshold is still evaluated (the
-            // docId tie-break may let it in); equality is a rare float event
-            if (acc >= theta) pivot = byDoc(p).pi.docID
+            acc += ubs(order(p))
+            if (acc >= theta) pivot = d
             else p += 1
           }
         }
         if (pivot == -1) done = true // no prefix can compete
-        else if (byDoc(0).pi.docID == pivot) {
-          // block-max check before full evaluation
+        else if (pis(order(0)).docID == pivot) {
+          // block-max refinement over the prefix (headers only, no decode)
           var blockAcc = 0.0
-          var i = 0
-          while (i <= p && i < byDoc.length) {
-            val it = byDoc(i)
-            if (it.pi.docID <= pivot && it.pi.skipToBlockContaining(pivot))
-              blockAcc += it.pi.blockMaxScore(it.w)
-            i += 1
+          var minBlockEnd = Int.MaxValue
+          var bi = 0
+          while (bi <= p && bi < m) {
+            val it = pis(order(bi))
+            if (it.docID <= pivot && it.skipToBlockContaining(pivot)) {
+              blockAcc += it.blockMaxScore(ws(order(bi)))
+              if (it.blockLastDoc < minBlockEnd) minBlockEnd = it.blockLastDoc
+            }
+            bi += 1
           }
-          val competitive = blockAcc >= theta
-          if (competitive) {
+          if (blockAcc >= theta) {
             // evaluate fully, summing in ORIGINAL clause order for float
             // determinism vs the exhaustive scorer
             var s = 0.0
             var j = 0
-            while (j < iters.length) {
-              val it = iters(j)
-              if (it.pi.docID < pivot) it.pi.advance(pivot)
-              if (it.pi.docID == pivot) s += it.w.score(it.pi.freq.toFloat, norms(pivot), doclens(pivot))
+            while (j < m) {
+              if (pis(j).docID < pivot) pis(j).advance(pivot)
+              if (pis(j).docID == pivot)
+                s += ws(j).score(pis(j).freq.toFloat, norms(pivot), doclens(pivot))
               j += 1
             }
             collector.collect(s, docBase + pivot)
-          }
-          // advance all iterators sitting at pivot
-          var j = 0
-          while (j < iters.length) {
-            if (iters(j).pi.docID == pivot) iters(j).pi.nextDoc()
-            j += 1
+            j = 0
+            while (j < m) {
+              if (pis(j).docID == pivot) pis(j).nextDoc()
+              j += 1
+            }
+          } else {
+            // nothing in these blocks can compete: jump the whole prefix
+            // past the earliest block boundary — the BMW deep skip
+            val target = math.max(pivot + 1, minBlockEnd + 1)
+            var j = 0
+            while (j <= p && j < m) {
+              val it = pis(order(j))
+              if (it.docID < target) it.advance(target)
+              j += 1
+            }
           }
         } else {
           // advance the furthest-behind iterator to the pivot
-          byDoc(0).pi.advance(pivot)
+          pis(order(0)).advance(pivot)
         }
       }
     }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pipeline-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private lazy val docs = {
+    // per-doc disjoint vocabularies: organic cross-doc Jaccard is 0, so the
+    // only pairs are the planted ones (keeps the test at LSH's designed
+    // operating point, j >= 0.8, where 32x4 banding recall is ~1 - 6e-11)
+    val base = (0 until 60).map { i =>
+      val words = (0 until 40).map(j => s"t${i}_$j").mkString(" ")
+      (i.toLong, words)
+    }
+    // plant near-duplicates: 100 & 101 are small edits of doc 0;
+    // 102 is an exact copy of doc 1
+    val dups = Seq(
+      (100L, base(0)._2.replaceFirst("t0_0", "zz")),
+      (101L, base(0)._2 + " extra"),
+      (102L, base(1)._2))
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups exact copies only") {
+    val groups = TextOps.dedupExact(docs).filter($"group_size" > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keeper") == 1L)
+    assert(groups(0).getAs[Long]("group_size") == 2L)
+  }
+
+  test("minhash-LSH pairs == exact jaccard pairs on planted dups") {
+    val exact = Dedup.jaccardPairs(docs, w = 3, minJaccard = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashPairs(docs, w = 3, minJaccard = 0.8, bands = 32, rowsPerBand = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((0L, 100L)) && exact.contains((0L, 101L)) &&
+      exact.contains((1L, 102L)), s"planted dups missing: $exact")
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs have distance 0; near-dups small distance") {
+    val pairs = Dedup.simHashPairs(docs, maxDist = 8)
+      .select("doc_a", "doc_b", "dist").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((1L, 102L)).contains(0), s"exact copy must hash identically: $m")
+  }
+
+  test("ann: LSH finds planted near neighbors; brute force ranks them first") {
+    // clustered vectors: ids 1000+i are tiny perturbations of ids i
+    val rnd = new java.util.Random(5)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 20).map(i => (i.toLong, vec()))
+    val copies = bases.map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (bases ++ copies).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 3)
+
+    val brute = Ann.bruteForceTopK(emb, q, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(brute == Set((0L, 1000L), (1L, 1001L), (2L, 1002L)))
+
+    val lsh = Ann.lshTopK(emb, q, k = 1, dim = 16, bits = 6, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh == brute, s"LSH missed planted neighbors: $lsh")
+  }
+
+  test("multimodal stub: deterministic checksums over binary payloads") {
+    val media = Seq(
+      (1L, "hello".getBytes("UTF-8"), "text"),
+      (2L, Array[Byte](0, 1, 2, 3), "image"),
+      (3L, Array.empty[Byte], "audio")).toDF("media_id", "payload", "kind")
+    val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1(0).byte_len == 5 && f1(0).first_byte == 'h'.toInt)
+    assert(f1(2).byte_len == 0 && f1(2).first_byte == -1)
+  }
+
+  test("langid flags stopword-free text as other") {
+    val d = Seq((1L, "the cat is on the mat"), (2L, "wx9 qz7 kk3 blorp")).toDF("doc_id", "text")
+    val m = TextOps.langId(d).select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(m(1L) == "en" && m(2L) == "other")
+  }
+}
