@@ -28,7 +28,13 @@ final case class IndexConfig(
     /** Shuffle partitions for the postings sort; 0 → one per segment. */
     buildPartitions: Int = 0,
     /** Also persist a (docId, url) map table next to the index. */
-    writeDocMap: Boolean = true)
+    writeDocMap: Boolean = true,
+    /** "invert" (default): shuffle raw docs by segId, invert each segment
+      * in task RAM (the reference's DocumentsWriter architecture; memory
+      * bounded by docsPerSegment). "sortshuffle": shuffle posting rows
+      * through an external sort (unbounded segments, flat task memory).
+      * Both produce byte-identical segments. */
+    buildMode: String = "invert")
 
 final case class BuildReport(
     numDocs: Long,
@@ -106,28 +112,51 @@ object IndexBuilder {
       // (2) resume: skip committed doc-ranges before any tokenize work
       val todo = sorted.filter { case (id, _, _) => !committedIds.contains(segIdOf(id, dps)) }
 
-      // (3) tokenize; per-doc tf aggregation in memory (one doc at a time)
       val posStore = cfg.storePositions
-      val rows = todo.mapPartitions { docs =>
-        docs.flatMap { case (docId, _, text) =>
-          val segId = segIdOf(docId, dps)
-          tokenizeDoc(analyzer, segId, docId, text, posStore)
-        }
-      }.toDS()
-
-      // (4) one doc-range-partitioned shuffle with a total sort order
-      val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions else numSegments
-      val sortedRows = rows
-        .repartition(parts, $"segId")
-        .sortWithinPartitions($"segId", $"term", $"docId")
-
-      // (5) streaming segment writers; task-atomic publish
       val indexDir = cfg.indexDir
       val analyzerName = cfg.analyzer
       val totalDocs = numDocs
-      val metas = sortedRows.mapPartitions { it =>
-        writePartitionSegments(it, indexDir, analyzerName, dps, totalDocs, posStore)
-      }.collect().toSeq
+
+      val metas: Seq[SegmentMeta] = if (cfg.buildMode == "invert") {
+        // (3a) DEFAULT "invert" mode — the reference's own architecture
+        // (in-RAM inversion per segment, DocumentsWriter.cpp) re-expressed:
+        // shuffle RAW DOCS grouped by segId (corpus-sized shuffle, ~10x
+        // smaller than shuffling posting rows) and invert one segment at a
+        // time in task memory. docsPerSegment bounds task memory (2048-doc
+        // test segments ≈ MBs; at cluster scale keep ≤ ~256k docs/segment
+        // per 4 GB executor, or switch buildMode to "sortshuffle").
+        val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
+          else math.min(numSegments, math.max(1, 4 * spark.sparkContext.defaultParallelism))
+        val partitioner = new org.apache.spark.Partitioner {
+          override def numPartitions: Int = parts
+          override def getPartition(key: Any): Int = {
+            val s = key.asInstanceOf[(Int, Long)]._1
+            val m = s % parts
+            if (m < 0) m + parts else m
+          }
+        }
+        todo.map { case (docId, _, text) => ((segIdOf(docId, dps), docId), text) }
+          .repartitionAndSortWithinPartitions(partitioner)
+          .mapPartitions { it =>
+            invertPartitionSegments(it, indexDir, analyzerName, dps, totalDocs, posStore)
+          }.collect().toSeq
+      } else {
+        // (3b) "sortshuffle" mode — posting rows through one doc-range-
+        // partitioned external sort (unbounded segment sizes; Spark's
+        // sort-based shuffle spills, per-task memory stays flat).
+        val rows = todo.mapPartitions { docs =>
+          docs.flatMap { case (docId, _, text) =>
+            val segId = segIdOf(docId, dps)
+            tokenizeDoc(analyzer, segId, docId, text, posStore)
+          }
+        }.toDS()
+        val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions else numSegments
+        rows.repartition(parts, $"segId")
+          .sortWithinPartitions($"segId", $"term", $"docId")
+          .mapPartitions { it =>
+            writePartitionSegments(it, indexDir, analyzerName, dps, totalDocs, posStore)
+          }.collect().toSeq
+      }
 
       val allSegs = (committed ++ metas).sortBy(_.segId)
       val meta = IndexMeta(cfg.analyzer,
@@ -167,6 +196,100 @@ object IndexBuilder {
       out += PostingRow(segId, e.getKey, docId, e.getValue.size, positions, 0)
     }
     out.iterator
+  }
+
+  private final class IntBuf(initial: Int = 8) {
+    var arr = new Array[Int](initial)
+    var n = 0
+    def add(v: Int): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      arr(n) = v
+      n += 1
+    }
+  }
+
+  private final class TermBuf {
+    val docs = new IntBuf(4)
+    val freqs = new IntBuf(4)
+    var positions: IntBuf = null // lazily created when storing positions
+  }
+
+  /** "invert" mode consumer: docs arrive sorted by (segId, docId); invert
+    * one segment at a time in memory, then stream term-sorted postings into
+    * the shared SegmentWriter (identical bytes to the sort path). */
+  private def invertPartitionSegments(
+      it: Iterator[((Int, Long), String)],
+      indexDir: String,
+      analyzerName: String,
+      docsPerSegment: Int,
+      numDocs: Long,
+      storePositions: Boolean): Iterator[SegmentMeta] = {
+    val analyzer = Analyzer.byName(analyzerName)
+    val metas = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+
+    var curSeg = -1
+    var docBase = 0L
+    var writer: SegmentWriter = null
+    var inv: java.util.HashMap[String, TermBuf] = null
+
+    def flushSegment(): Unit = {
+      if (writer == null) return
+      val terms = inv.keySet.toArray(new Array[String](0))
+      java.util.Arrays.sort(terms.asInstanceOf[Array[Object]]) // UTF-16 code-unit order, same as sort path
+      var t = 0
+      while (t < terms.length) {
+        val tb = inv.get(terms(t))
+        var i = 0
+        var posOff = 0
+        while (i < tb.docs.n) {
+          val f = tb.freqs.arr(i)
+          writer.addPosting(terms(t), tb.docs.arr(i), f,
+            if (storePositions) tb.positions.arr else Array.emptyIntArray,
+            if (storePositions) posOff else 0)
+          posOff += f
+          i += 1
+        }
+        t += 1
+      }
+      metas += writer.finish()
+      writer = null
+      inv = null
+    }
+
+    while (it.hasNext) {
+      val ((segId, docId), text) = it.next()
+      if (segId != curSeg) {
+        flushSegment()
+        curSeg = segId
+        docBase = segId.toLong * docsPerSegment
+        val docCount = math.min(docsPerSegment.toLong, numDocs - docBase).toInt
+        writer = new SegmentWriter(indexDir, segId, docBase, docCount, analyzerName, storePositions)
+        inv = new java.util.HashMap[String, TermBuf]()
+      }
+      val localDoc = (docId - docBase).toInt
+      // analyze + per-doc tf directly into the segment inversion
+      var pos = -1
+      var len = 0
+      val toks = analyzer.analyze(if (text == null) "" else text)
+      while (toks.hasNext) {
+        val tok = toks.next()
+        pos += tok.posIncr
+        len += 1
+        var tb = inv.get(tok.term)
+        if (tb == null) { tb = new TermBuf; inv.put(tok.term, tb) }
+        if (tb.docs.n == 0 || tb.docs.arr(tb.docs.n - 1) != localDoc) {
+          tb.docs.add(localDoc)
+          tb.freqs.add(1)
+        } else tb.freqs.arr(tb.freqs.n - 1) += 1
+        if (storePositions) {
+          if (tb.positions == null) tb.positions = new IntBuf(4)
+          tb.positions.add(pos)
+        }
+      }
+      writer.addDocLength(localDoc, len)
+    }
+    flushSegment()
+    metas.iterator
   }
 
   /** Consume one sorted partition, writing a segment per segId run. */

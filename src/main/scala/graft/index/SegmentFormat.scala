@@ -101,7 +101,13 @@ final class SegmentWriter(
   }
 
   /** Terms must arrive in ascending order; docs ascending within a term. */
-  def addPosting(term: String, localDoc: Int, freq: Int, positions: Array[Int]): Unit = {
+  def addPosting(term: String, localDoc: Int, freq: Int, positions: Array[Int]): Unit =
+    addPosting(term, localDoc, freq, positions, 0)
+
+  /** As above, reading `freq` positions from `positions(posOff…)` (lets the
+    * in-RAM inverter pass one shared buffer without slicing). */
+  def addPosting(term: String, localDoc: Int, freq: Int, positions: Array[Int],
+      posOff: Int): Unit = {
     if (curTerm == null || term != curTerm) {
       if (curTerm != null) endTerm()
       startTerm(term)
@@ -111,8 +117,8 @@ final class SegmentWriter(
     freqBuf(bufN) = freq
     if (storePositions) {
       var prev = 0
-      var i = 0
-      while (i < freq) { posBuf.writeVInt(positions(i) - prev); prev = positions(i); i += 1 }
+      var i = posOff
+      while (i < posOff + freq) { posBuf.writeVInt(positions(i) - prev); prev = positions(i); i += 1 }
     }
     bufN += 1
     curDf += 1

@@ -67,15 +67,19 @@ class SparkIndexSpec extends AnyFunSuite {
     }
   }
 
-  test("build output is byte-identical across shuffle partitioning") {
-    val d4 = tmpDir(); val d8 = tmpDir()
+  test("build output is byte-identical across shuffle partitioning AND build modes") {
+    val d4 = tmpDir(); val d8 = tmpDir(); val ds = tmpDir()
     IndexBuilder.build(spark, corpus, IndexConfig(d4, docsPerSegment = 64,
       buildPartitions = 2, writeDocMap = false))
     IndexBuilder.build(spark, corpus, IndexConfig(d8, docsPerSegment = 64,
       buildPartitions = 8, writeDocMap = false))
+    IndexBuilder.build(spark, corpus, IndexConfig(ds, docsPerSegment = 64,
+      buildPartitions = 8, writeDocMap = false, buildMode = "sortshuffle"))
     val h4 = fileHashes(d4)
     val h8 = fileHashes(d8)
+    val hs = fileHashes(ds)
     assert(h4.nonEmpty && h4 == h8)
+    assert(h4 == hs, "invert and sortshuffle modes must write identical segments")
   }
 
   test("resume: killed build restarts from committed segments only") {
