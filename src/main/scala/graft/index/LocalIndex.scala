@@ -47,11 +47,21 @@ object LocalIndex {
 
   /** Sequential search across all segments + merge (drop-in comparable with
     * the distributed IndexSearcher). */
-  def search(indexDir: String, q: Query, k: Int, sim: Similarity,
+  def search(indexDir: String, q0: Query, k: Int, sim: Similarity,
       useWand: Boolean = true): Array[ScoredDoc] = {
     val meta = IndexMetaIO.readLatest(indexDir).get
     val readers = meta.segments.map(m =>
       new SegmentReader(new java.io.File(indexDir, SegmentFormat.segDirName(m.segId))))
+    val q =
+      if (!graft.search.Query.hasMultiTerm(q0)) q0
+      else {
+        // merged dictionary view: union of per-segment sorted term streams
+        val termsFrom = (lower: Option[String]) => {
+          val its = readers.map(_.termsFrom(lower).map(_.term))
+          its.foldLeft(Iterator.empty: Iterator[String])(_ ++ _).toSeq.distinct.sorted.iterator
+        }
+        graft.search.MultiTerm.expand(q0, termsFrom)
+      }
     val terms = Query.allTerms(q)
     val dfm = terms.map(t => t -> readers.flatMap(_.termInfo(t)).map(_.df.toLong).sum).toMap
     val stats = graft.score.CorpusStats(meta.numDocs, meta.avgDocLength)

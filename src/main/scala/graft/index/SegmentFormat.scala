@@ -333,27 +333,51 @@ final class SegmentReader(val dir: File) {
   }
 
   /** Iterate the whole term dictionary (for stats jobs / merge). */
-  def allTerms: Iterator[TermInfo] = new Iterator[TermInfo] {
-    private val r = new ByteReader(termsBuf.duplicate())
-    private var prev: String = null
-    private var postingsPos = 0L
-    override def hasNext: Boolean = r.remaining > 0
-    override def next(): TermInfo = {
-      val prefixLen = r.readVInt()
-      val suffix = r.readString()
-      val t = if (prefixLen == 0) suffix else prev.substring(0, prefixLen) + suffix
-      val df = r.readVInt()
-      val maxFreq = r.readVInt()
-      val minDlByte = r.readByte()
-      val minDl = r.readVInt()
-      postingsPos += r.readVLong()
-      val len = r.readVLong()
-      val ti = TermInfo(t, df, maxFreq, minDlByte, minDl, postingsPos, len)
-      postingsPos += len
-      prev = t
-      ti
-    }
+  def allTerms: Iterator[TermInfo] = termsIterAt(0, 0L)
+
+  /** Sorted term iterator starting at the first term >= `lower` (multi-term
+    * expansion seek — TermRangeTermEnum/PrefixQuery pattern). */
+  def termsFrom(lower: Option[String]): Iterator[TermInfo] = lower match {
+    case None => allTerms
+    case Some(lo) =>
+      if (idxTerms.isEmpty) Iterator.empty
+      else {
+        // greatest sample <= lo (or the first sample)
+        var l = 0
+        var h = idxTerms.length - 1
+        if (idxTerms(0) < lo) {
+          while (l < h) {
+            val mid = (l + h + 1) >>> 1
+            if (idxTerms(mid) <= lo) l = mid else h = mid - 1
+          }
+        }
+        termsIterAt(idxTermsOffsets(l).toInt, idxPostOffsets(l)).dropWhile(_.term < lo)
+      }
   }
+
+  private def termsIterAt(termsOffset: Int, postingsStart: Long): Iterator[TermInfo] =
+    new Iterator[TermInfo] {
+      private val r = new ByteReader(termsBuf.duplicate())
+      r.seek(termsOffset)
+      private var prev: String = null
+      private var postingsPos = postingsStart
+      override def hasNext: Boolean = r.remaining > 0
+      override def next(): TermInfo = {
+        val prefixLen = r.readVInt()
+        val suffix = r.readString()
+        val t = if (prefixLen == 0) suffix else prev.substring(0, prefixLen) + suffix
+        val df = r.readVInt()
+        val maxFreq = r.readVInt()
+        val minDlByte = r.readByte()
+        val minDl = r.readVInt()
+        postingsPos += r.readVLong()
+        val len = r.readVLong()
+        val ti = TermInfo(t, df, maxFreq, minDlByte, minDl, postingsPos, len)
+        postingsPos += len
+        prev = t
+        ti
+      }
+    }
 
   def postings(ti: TermInfo, needPositions: Boolean): PostingsIterator =
     new PostingsIterator(

@@ -52,15 +52,21 @@ object BruteForce {
           .score(f.toFloat, norm, doc.dl))
       }
 
-    case PhraseQ(ts, _, boost) =>
+    case PhraseQ(ts, slop, boost) =>
       val arrays = ts.zipWithIndex.map { case (t, i) =>
         doc.termPositions.get(t).map(_.map(_ - i))
       }
       if (arrays.exists(_.isEmpty)) None
       else {
         val sets = arrays.flatten
-        val pf = sets.head.count(p => sets.tail.forall(_.contains(p)))
-        if (pf == 0) None
+        val pf: Double =
+          if (slop <= 0) sets.head.count(p => sets.tail.forall(_.contains(p))).toDouble
+          else {
+            require(ts.distinct.size == ts.size,
+              "sloppy phrase with repeated terms is not supported in v1")
+            SloppyPhrase.freq(sets.toArray, slop)
+          }
+        if (pf == 0.0) None
         else {
           val idfSum = ts.map(t => sim.idf(dfm.getOrElse(t, 0L), st)).sum
           val norm = SmallFloat.encodeNorm(doc.dl)
@@ -69,6 +75,22 @@ object BruteForce {
       }
 
     case MatchAllQ => Some(queryNorm.toDouble)
+
+    case ConstantScoreQ(inner, boost) =>
+      scoreDoc(inner, doc, sim, st, dfm, queryNorm)
+        .map(_ => (boost * queryNorm).toDouble)
+
+    case DisMaxQ(ds, tie, boost) =>
+      val subScores = ds.flatMap(d => scoreDoc(d, doc, sim, st, dfm, queryNorm))
+      if (subScores.isEmpty) None
+      else {
+        val max = subScores.max
+        val sum = subScores.sum
+        Some((max + (sum - max) * tie) * (boost * queryNorm))
+      }
+
+    case mt: MultiTermQ =>
+      throw new IllegalStateException(s"multi-term query not expanded: $mt")
 
     case BoolQ(must, should, mustNot, msm) =>
       if (mustNot.exists(n => scoreDoc(n, doc, sim, st, dfm, queryNorm).isDefined)) None
@@ -92,9 +114,16 @@ object BruteForce {
   }
 
   def search(corpus: Seq[Doc], q0: Query, k: Int, sim: Similarity): Array[ScoredDoc] = {
-    val q = Query.rewrite(q0)
     val st = stats(corpus)
     val dfm = df(corpus)
+    val expanded =
+      if (!Query.hasMultiTerm(q0)) q0
+      else {
+        val sortedTerms = dfm.keys.toArray.sorted
+        MultiTerm.expand(q0, lower =>
+          lower.fold(sortedTerms.iterator)(lo => sortedTerms.iterator.dropWhile(_ < lo)))
+      }
+    val q = Query.rewrite(expanded)
     val qn = sim.queryNorm(SegmentSearch.sumOfSquaredWeights(q, sim, st, t => dfm.getOrElse(t, 0L)))
     corpus.flatMap(d => scoreDoc(q, d, sim, st, dfm, qn).map(s => ScoredDoc(d.docId, s)))
       .sortBy(h => (-h.score, h.docId))

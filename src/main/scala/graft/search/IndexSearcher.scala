@@ -60,8 +60,64 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
   def search(q: Query, k: Int, sim: Similarity, useWand: Boolean = true): Array[ScoredDoc] =
     searchBatch(Seq("q" -> q), k, sim, useWand)("q")
 
-  def searchBatch(queries: Seq[(String, Query)], k: Int, sim: Similarity,
+  /** Expand multi-term nodes against the distributed term dictionary: one
+    * job collects each node's matching terms per segment (seek + bounded
+    * scan), the driver unions them and rewrites the plan. Per-node match
+    * is a pure function of term text, so the union is exactly the global
+    * dictionary expansion (MultiTerm scaladoc). */
+  private def expandQueries(queries: Seq[(String, Query)]): Seq[(String, Query)] = {
+    if (!queries.exists { case (_, q) => Query.hasMultiTerm(q) }) return queries
+    def collectNodes(q: Query): Seq[MultiTermQ] = q match {
+      case mt: MultiTermQ => Seq(mt)
+      case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(collectNodes)
+      case ConstantScoreQ(inner, _) => collectNodes(inner)
+      case DisMaxQ(ds, _, _) => ds.flatMap(collectNodes)
+      case _ => Nil
+    }
+    val nodes: Seq[MultiTermQ] = queries.flatMap { case (_, q) => collectNodes(q) }.distinct
+    if (nodes.isEmpty) return queries
+    val sc = spark.sparkContext
+    val bcNodes = sc.broadcast(nodes)
+    val matched: Map[MultiTermQ, Seq[String]] = sc
+      .parallelize(segDirs, math.max(1, segDirs.size))
+      .flatMap { dir =>
+        val r = ReaderCache.get(dir)
+        bcNodes.value.flatMap { node =>
+          val it = r.termsFrom(MultiTerm.seekLowerBound(node))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(MultiTermQ, String)]
+          var done = false
+          while (!done && it.hasNext) {
+            val t = it.next().term
+            if (MultiTerm.pastUpperBound(node, t)) done = true
+            else if (MultiTerm.matchBoost(node, t).isDefined) out += ((node, t))
+          }
+          out
+        }
+      }
+      .distinct()
+      .collect()
+      .groupBy(_._1)
+      .map { case (n, ts) => n -> ts.map(_._2).toSeq.sorted }
+    bcNodes.destroy()
+    val termSets = matched
+    // rewrite with per-node term sets (expand consumes a term iterator; feed
+    // it the node's own matched list by re-dispatching per node)
+    def rewriteTree(q: Query): Query = q match {
+      case mt: MultiTermQ =>
+        val terms = termSets.getOrElse(mt, Nil)
+        MultiTerm.expand(mt, _ => terms.iterator)
+      case BoolQ(m, s, n, msm) =>
+        BoolQ(m.map(rewriteTree), s.map(rewriteTree), n.map(rewriteTree), msm)
+      case ConstantScoreQ(inner, boost) => ConstantScoreQ(rewriteTree(inner), boost)
+      case DisMaxQ(ds, tie, boost) => DisMaxQ(ds.map(rewriteTree), tie, boost)
+      case other => other
+    }
+    queries.map { case (id, q) => id -> rewriteTree(q) }
+  }
+
+  def searchBatch(queries0: Seq[(String, Query)], k: Int, sim: Similarity,
       useWand: Boolean = true): Map[String, Array[ScoredDoc]] = {
+    val queries = expandQueries(queries0)
     val allTerms = queries.flatMap { case (_, q) => Query.allTerms(q) }.toSet
     val dfMap = globalDf(allTerms)
     val sc = spark.sparkContext

@@ -24,19 +24,67 @@ final case class BoolQ(
 
 case object MatchAllQ extends Query
 
+/** Uniform-score wrapper (reference ConstantScoreQuery.cpp): matching docs
+  * of the inner query all score `boost` (x queryNorm under classic). */
+final case class ConstantScoreQ(inner: Query, boost: Float = 1f) extends Query
+
+/** Per-doc max over sub-scorers plus tie-break times the rest
+  * (reference DisjunctionMaxQuery.cpp / DisjunctionMaxScorer.cpp). */
+final case class DisMaxQ(disjuncts: Seq[Query], tieBreaker: Float = 0f,
+    boost: Float = 1f) extends Query
+
+/** Multi-term queries (reference MultiTermQuery family, SURVEY.md §2.9):
+  * expanded against the term dictionary BEFORE scoring — see MultiTerm.
+  * `constantScore` mirrors the reference's CONSTANT_SCORE vs SCORING
+  * rewrite modes (MultiTermQuery.cpp:31-62). */
+sealed trait MultiTermQ extends Query { def boost: Float; def constantScore: Boolean }
+
+final case class PrefixQ(prefix: String, boost: Float = 1f,
+    constantScore: Boolean = true) extends MultiTermQ
+
+/** `*` = any run, `?` = one char (reference WildcardQuery.cpp). */
+final case class WildcardQ(pattern: String, boost: Float = 1f,
+    constantScore: Boolean = true) extends MultiTermQ
+
+/** Lexicographic term range (reference TermRangeQuery.cpp). */
+final case class TermRangeQ(lower: Option[String], upper: Option[String],
+    includeLower: Boolean = true, includeUpper: Boolean = true,
+    boost: Float = 1f, constantScore: Boolean = true) extends MultiTermQ
+
+/** Edit-distance expansion; expanded term boost = scaled similarity
+  * (reference FuzzyQuery.cpp / FuzzyTermEnum.cpp:42). Always scoring. */
+final case class FuzzyQ(term: String, minSimilarity: Float = 0.5f,
+    prefixLength: Int = 0, boost: Float = 1f) extends MultiTermQ {
+  override def constantScore: Boolean = false
+}
+
 object Query {
 
-  /** All terms needing global df (postings terms incl. prohibited). */
+  /** All terms needing global df (postings terms incl. prohibited).
+    * Multi-term nodes must be expanded first (MultiTerm.expand). */
   def allTerms(q: Query): Set[String] = q match {
     case TermQ(t, _) => Set(t)
     case PhraseQ(ts, _, _) => ts.toSet
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(allTerms).toSet
+    case ConstantScoreQ(inner, _) => allTerms(inner)
+    case DisMaxQ(ds, _, _) => ds.flatMap(allTerms).toSet
+    case _: MultiTermQ => Set.empty
     case MatchAllQ => Set.empty
   }
 
   def needsPositions(q: Query): Boolean = q match {
     case _: PhraseQ => true
     case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(needsPositions)
+    case ConstantScoreQ(inner, _) => needsPositions(inner)
+    case DisMaxQ(ds, _, _) => ds.exists(needsPositions)
+    case _ => false
+  }
+
+  def hasMultiTerm(q: Query): Boolean = q match {
+    case _: MultiTermQ => true
+    case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(hasMultiTerm)
+    case ConstantScoreQ(inner, _) => hasMultiTerm(inner)
+    case DisMaxQ(ds, _, _) => ds.exists(hasMultiTerm)
     case _ => false
   }
 

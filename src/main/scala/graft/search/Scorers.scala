@@ -146,11 +146,18 @@ final class DisjunctionSumScorer(subs: Array[Scorer], minShouldMatch: Int) exten
   private def evaluate(): Boolean = {
     var n = 0
     var s = 0.0
+    var mx = Double.MinValue
     var i = 0
     while (i < subs.length) {
-      if (subs(i).docID == _doc) { n += 1; s += subs(i).score() }
+      if (subs(i).docID == _doc) {
+        n += 1
+        val v = subs(i).score()
+        s += v
+        if (v > mx) mx = v
+      }
       i += 1
     }
+    _maxSubScore = mx
     // advance matchers past _doc for the next round
     i = 0
     while (i < subs.length) {
@@ -162,6 +169,9 @@ final class DisjunctionSumScorer(subs: Array[Scorer], minShouldMatch: Int) exten
   }
 
   def nrMatchers: Int = _nrMatchers
+  private var _maxSubScore = 0.0
+  /** Max matching sub score at the current doc (for DisjunctionMax). */
+  def maxSubScore: Double = _maxSubScore
   override def score(): Double = _score
 }
 
@@ -277,6 +287,82 @@ final class ExactPhraseScorer(
       j += 1
     }
     count
+  }
+
+  override def score(): Double = {
+    val d = inner.docID
+    weight.score(_freq.toFloat, norms(d), doclens(d))
+  }
+}
+
+/** Per-doc max + tieBreaker * (sum - max)
+  * (reference DisjunctionMaxScorer.cpp). Max/sum are order-independent up
+  * to float rounding; the sum accumulates in clause order. */
+final class DisjunctionMaxScorer(subs: Array[Scorer], tieBreaker: Float,
+    boostTimesNorm: Float) extends Scorer {
+  private val inner = new DisjunctionSumScorer(subs, 1)
+  override def docID: Int = inner.docID
+  override def nextDoc(): Int = inner.nextDoc()
+  override def advance(target: Int): Int = inner.advance(target)
+  override def score(): Double = {
+    val sum = inner.score()
+    val max = inner.maxSubScore
+    (max + (sum - max) * tieBreaker) * boostTimesNorm
+  }
+}
+
+/** Uniform score over the inner iterator
+  * (reference ConstantScoreQuery.cpp). */
+final class ConstantScoreScorer(inner: Scorer, value: Double) extends Scorer {
+  override def docID: Int = inner.docID
+  override def nextDoc(): Int = inner.nextDoc()
+  override def advance(target: Int): Int = inner.advance(target)
+  override def score(): Double = value
+}
+
+/** Sloppy phrase: conjunction on docs, SloppyPhrase.freq on positions
+  * (reference SloppyPhraseScorer.cpp). */
+final class SloppyPhraseScorer(
+    pis: Array[PostingsIterator],
+    offsets: Array[Int],
+    slop: Int,
+    weight: TermWeight,
+    norms: Array[Byte],
+    doclens: Array[Int]) extends Scorer {
+
+  private val conj: Array[Scorer] = pis.map { pi =>
+    new Scorer {
+      override def docID: Int = pi.docID
+      override def nextDoc(): Int = pi.nextDoc()
+      override def advance(t: Int): Int = pi.advance(t)
+      override def score(): Double = 0.0
+    }
+  }
+  private val inner = new ConjunctionScorer(conj)
+  private var _freq = 0.0
+
+  override def docID: Int = inner.docID
+  override def nextDoc(): Int = toMatch(inner.nextDoc())
+  override def advance(target: Int): Int = toMatch(inner.advance(target))
+
+  private def toMatch(first: Int): Int = {
+    var d = first
+    while (d != Scorer.NoMoreDocs) {
+      val arrs = new Array[Array[Int]](pis.length)
+      var i = 0
+      while (i < pis.length) {
+        val ps = pis(i).positions()
+        val off = offsets(i)
+        var j = 0
+        while (j < ps.length) { ps(j) -= off; j += 1 }
+        arrs(i) = ps
+        i += 1
+      }
+      _freq = SloppyPhrase.freq(arrs, slop)
+      if (_freq > 0.0) return d
+      d = inner.nextDoc()
+    }
+    d
   }
 
   override def score(): Double = {

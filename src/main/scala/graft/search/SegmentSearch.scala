@@ -80,6 +80,11 @@ object SegmentSearch {
       sim.phraseWeightSq(ts.map(t => sim.idf(df(t), stats)).sum, boost)
     case BoolQ(m, s, _, _) => (m ++ s).map(sumOfSquaredWeights(_, sim, stats, df)).sum
     case MatchAllQ => sim.constWeightSq(1f)
+    case ConstantScoreQ(_, boost) => sim.constWeightSq(boost)
+    case DisMaxQ(ds, _, boost) =>
+      boost * boost * ds.map(sumOfSquaredWeights(_, sim, stats, df)).sum
+    case mt: MultiTermQ =>
+      throw new IllegalStateException(s"multi-term query not expanded: $mt")
   }
 
   /** Build the scorer tree for one segment; None when a required clause is
@@ -94,18 +99,37 @@ object SegmentSearch {
           reader.norms, reader.doclens)
       }
 
-    case PhraseQ(ts, _, boost) =>
+    case PhraseQ(ts, slop, boost) =>
       val tis = ts.map(reader.termInfo)
       if (tis.exists(_.isEmpty)) None
       else {
         val idfSum = ts.map(t => sim.idf(df(t), stats)).sum
         val w = sim.phraseWeight(idfSum, boost, queryNorm, stats)
         val pis = tis.flatten.map(ti => reader.postings(ti, needPositions = true)).toArray
-        Some(new ExactPhraseScorer(pis, ts.indices.toArray, w, reader.norms, reader.doclens))
+        if (slop <= 0)
+          Some(new ExactPhraseScorer(pis, ts.indices.toArray, w, reader.norms, reader.doclens))
+        else {
+          require(ts.distinct.size == ts.size,
+            "sloppy phrase with repeated terms is not supported in v1")
+          Some(new SloppyPhraseScorer(pis, ts.indices.toArray, slop, w,
+            reader.norms, reader.doclens))
+        }
       }
 
     case MatchAllQ =>
       Some(new MatchAllScorer(reader.meta.docCount, queryNorm))
+
+    case ConstantScoreQ(inner, boost) =>
+      scorer(inner, reader, sim, stats, df, queryNorm)
+        .map(s => new ConstantScoreScorer(s, (boost * queryNorm).toDouble))
+
+    case DisMaxQ(ds, tie, boost) =>
+      val subs = ds.flatMap(scorer(_, reader, sim, stats, df, queryNorm))
+      if (subs.isEmpty) None
+      else Some(new DisjunctionMaxScorer(subs.toArray, tie, boost * queryNorm))
+
+    case mt: MultiTermQ =>
+      throw new IllegalStateException(s"multi-term query not expanded: $mt")
 
     case BoolQ(must, should, mustNot, msm) =>
       val maxCoord = must.size + should.size

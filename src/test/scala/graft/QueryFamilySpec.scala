@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.Analyzer
+import graft.corpus.SyntheticCorpus
+import graft.index.LocalIndex
+import graft.score.{BM25, BM25Exact, ClassicTFIDF, Similarity}
+import graft.search._
+
+/** Multi-term family + dismax + constant-score + sloppy phrase, verified
+  * against the brute-force spec (reference semantics: MultiTermQuery.cpp,
+  * DisjunctionMaxQuery.cpp, ConstantScoreQuery.cpp, SloppyPhraseScorer.cpp,
+  * fixtures re-expressed from PhraseQueryTest.cpp:91-107). */
+class QueryFamilySpec extends AnyFunSuite {
+
+  private def tmpDir(): String = Files.createTempDirectory("graft-qf").toString
+
+  private def indexOf(texts: Seq[String], analyzer: String, dps: Int = Int.MaxValue): String = {
+    val dir = tmpDir()
+    LocalIndex.build(dir, texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, analyzer, dps)
+    dir
+  }
+
+  private def bfCorpus(texts: Seq[String], analyzer: String) =
+    BruteForce.analyzeCorpus(Analyzer.byName(analyzer),
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  private def checkAll(texts: Seq[String], analyzer: String, queries: Seq[Query],
+      sims: Seq[Similarity] = Seq(BM25(), ClassicTFIDF, BM25Exact()), k: Int = 10,
+      dps: Int = Int.MaxValue): Unit = {
+    val dir = indexOf(texts, analyzer, dps)
+    val corpus = bfCorpus(texts, analyzer)
+    for (sim <- sims; q <- queries) {
+      val engine = LocalIndex.search(dir, q, k, sim)
+      val spec = BruteForce.search(corpus, q, k, sim)
+      assert(engine.map(_.docId).toSeq == spec.map(_.docId).toSeq,
+        s"sim=$sim q=$q\n engine=${engine.toSeq}\n spec=${spec.toSeq}")
+      engine.zip(spec).foreach { case (e, s) =>
+        assert(e.score == s.score, s"sim=$sim q=$q doc ${e.docId}: ${e.score} != ${s.score}")
+      }
+    }
+  }
+
+  private val docs = Seq(
+    "apple apply application banana",
+    "apple banana cherry",
+    "apply maple syrup",
+    "grape grapefruit melon",
+    "melange melon mellow",
+    "zebra apple pie")
+
+  test("prefix query expands and matches brute force") {
+    checkAll(docs, "whitespace", Seq(
+      PrefixQ("appl"),
+      PrefixQ("appl", constantScore = false),
+      PrefixQ("grape"),
+      PrefixQ("nosuch"),
+      BoolQ(must = Seq(PrefixQ("mel", constantScore = false)), mustNot = Seq(TermQ("melange")))))
+  }
+
+  test("wildcard query") {
+    assert(MultiTerm.wildcardMatch("a*e", "apple"))
+    assert(MultiTerm.wildcardMatch("appl?", "apply"))
+    assert(!MultiTerm.wildcardMatch("appl?", "appl"))
+    assert(MultiTerm.wildcardMatch("*an*a", "banana"))
+    checkAll(docs, "whitespace", Seq(
+      WildcardQ("appl*"),
+      WildcardQ("*elon"), // leading wildcard: full dictionary scan
+      WildcardQ("m?lon", constantScore = false),
+      WildcardQ("gra*fruit")))
+  }
+
+  test("term range query") {
+    checkAll(docs, "whitespace", Seq(
+      TermRangeQ(Some("apple"), Some("banana"), includeLower = true, includeUpper = true),
+      TermRangeQ(Some("apple"), Some("banana"), includeLower = false, includeUpper = false),
+      TermRangeQ(None, Some("cherry")),
+      TermRangeQ(Some("melon"), None, constantScore = false)))
+  }
+
+  test("fuzzy query: edit-distance expansion with scaled boosts") {
+    checkAll(docs, "whitespace", Seq(
+      FuzzyQ("aple"), // ~apple, apply
+      FuzzyQ("melon", minSimilarity = 0.6f),
+      FuzzyQ("banan", prefixLength = 2),
+      BoolQ(should = Seq(FuzzyQ("aple"), TermQ("zebra")))))
+  }
+
+  test("dismax and constant-score") {
+    checkAll(docs, "whitespace", Seq(
+      DisMaxQ(Seq(TermQ("apple"), TermQ("banana")), tieBreaker = 0f),
+      DisMaxQ(Seq(TermQ("apple"), TermQ("banana"), TermQ("melon")), tieBreaker = 0.3f),
+      ConstantScoreQ(BoolQ(should = Seq(TermQ("apple"), TermQ("melon"))), boost = 2f),
+      BoolQ(must = Seq(DisMaxQ(Seq(TermQ("apple"), TermQ("apply")), 0.1f)),
+        should = Seq(ConstantScoreQ(TermQ("banana"))))))
+  }
+
+  test("sloppy phrase: reference PhraseQueryTest slop semantics") {
+    // PhraseQueryTest.cpp:91-107 — "one five" in "one two three four five":
+    // slop 2 -> no match, slop 3 -> match
+    val texts = Seq("one two three four five")
+    val dir = indexOf(texts, "whitespace")
+    assert(LocalIndex.search(dir, PhraseQ(Seq("one", "five"), slop = 2), 10, ClassicTFIDF).isEmpty)
+    val hit = LocalIndex.search(dir, PhraseQ(Seq("one", "five"), slop = 3), 10, ClassicTFIDF)
+    assert(hit.map(_.docId).toSeq == Seq(0L))
+    // reversed order needs slop to cover the inversion
+    assert(LocalIndex.search(dir, PhraseQ(Seq("two", "one"), slop = 2), 10, ClassicTFIDF).nonEmpty)
+    assert(LocalIndex.search(dir, PhraseQ(Seq("five", "one"), slop = 3), 10, ClassicTFIDF).isEmpty)
+  }
+
+  test("sloppy phrase engine == spec on random corpora") {
+    val texts = SyntheticCorpus.localPages(120, seed = 9, avgLen = 30, vocab = 50).map(_.text)
+    val queries = Seq(
+      PhraseQ(Seq("w1", "w2"), slop = 1),
+      PhraseQ(Seq("w0", "w3"), slop = 2),
+      PhraseQ(Seq("w2", "w1"), slop = 3),
+      PhraseQ(Seq("w1", "w4", "w2"), slop = 4))
+    checkAll(texts, "standard", queries, dps = 31)
+  }
+
+  test("multi-term expansion across many segments matches single segment") {
+    val texts = SyntheticCorpus.localPages(150, seed = 4, avgLen = 25, vocab = 80).map(_.text)
+    val q = BoolQ(should = Seq(PrefixQ("w1", constantScore = false), FuzzyQ("w22")))
+    val one = LocalIndex.search(indexOf(texts, "standard"), q, 10, BM25())
+    val many = LocalIndex.search(indexOf(texts, "standard", 13), q, 10, BM25())
+    assert(one.toSeq == many.toSeq)
+  }
+}
