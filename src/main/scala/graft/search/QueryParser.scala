@@ -1,0 +1,209 @@
+package graft.search
+
+import graft.analysis.Analyzer
+
+/** Hand-written recursive-descent parser for the classic query syntax
+  * (reference /root/reference/src/core/queryparser/QueryParser.cpp:106-800 —
+  * we re-implement the documented grammar, not the JavaCC tables):
+  *
+  * {{{
+  *   +required -prohibited term  AND OR NOT && || !
+  *   "a phrase"~slop   wild*card   wi?ld   prefix*   fuzzy~   fuzzy~0.7
+  *   [lo TO hi]  {lo TO hi}   term^2.5   ( nested )
+  * }}}
+  *
+  * Boolean combination follows the reference's addClause state machine:
+  * an AND connective promotes BOTH adjacent clauses to required; NOT / '-'
+  * prohibits the next clause; default operator is OR (SHOULD). Terms are
+  * passed through the analyzer (a term that analyzes to several tokens
+  * becomes a phrase); wildcard/fuzzy/range terms are lowercased only. */
+object QueryParser {
+
+  def parse(input: String, analyzer: Analyzer): Query = {
+    val p = new Parser(input, analyzer)
+    val q = p.parseQuery()
+    Query.rewrite(q)
+  }
+
+  private sealed trait Conj
+  private case object ConjNone extends Conj
+  private case object ConjAnd extends Conj
+  private case object ConjOr extends Conj
+
+  private final class Parser(s: String, analyzer: Analyzer) {
+    private var i = 0
+
+    def parseQuery(): Query = {
+      val should = scala.collection.mutable.ArrayBuffer.empty[Query]
+      val mustNot = Seq.newBuilder[Query]
+      val mustBuf = scala.collection.mutable.ArrayBuffer.empty[Query]
+
+      var conj: Conj = ConjNone
+      var prohibited = false
+      var required = false
+      var prevWasShould = false // for AND promotion of the previous clause
+
+      skipWs()
+      while (i < s.length && s.charAt(i) != ')') {
+        // connective? (word() self-resets when the token is not one)
+        word() match {
+          case Some("AND") | Some("&&") => conj = ConjAnd
+          case Some("OR") | Some("||") => conj = ConjOr
+          case Some("NOT") | Some("!") => prohibited = true
+          case _ =>
+        }
+        skipWs()
+        if (i < s.length && s.charAt(i) != ')') {
+          // modifiers
+          if (s.charAt(i) == '+') { required = true; i += 1 }
+          else if (s.charAt(i) == '-') { prohibited = true; i += 1 }
+          val clause = parseClause()
+          clause.foreach { c =>
+            if (prohibited) { mustNot += c; prevWasShould = false }
+            else if (required || conj == ConjAnd) {
+              // AND promotes the previous SHOULD clause too (reference
+              // QueryParser addClause semantics)
+              if (conj == ConjAnd && prevWasShould && should.nonEmpty)
+                mustBuf += should.remove(should.length - 1)
+              mustBuf += c
+              prevWasShould = false
+            } else { should += c; prevWasShould = true }
+          }
+          conj = ConjNone
+          prohibited = false
+          required = false
+        }
+        skipWs()
+      }
+      BoolQ(mustBuf.toSeq, should.toSeq, mustNot.result(), 0)
+    }
+
+    /** One clause (not including +/- which the caller consumed). */
+    private def parseClause(): Option[Query] = {
+      skipWs()
+      if (i >= s.length) return None
+      s.charAt(i) match {
+        case '(' =>
+          i += 1
+          val inner = parseQuery()
+          expect(')')
+          Some(withBoost(inner))
+        case '"' =>
+          i += 1
+          val start = i
+          while (i < s.length && s.charAt(i) != '"') i += 1
+          val raw = s.substring(start, i)
+          expect('"')
+          var slop = 0
+          if (i < s.length && s.charAt(i) == '~') {
+            i += 1
+            slop = number().map(_.toInt).getOrElse(0)
+          }
+          val terms = analyzer.analyze(raw).map(_.term).toSeq
+          val q = terms match {
+            case Nil => return None
+            case Seq(t) => TermQ(t)
+            case ts => PhraseQ(ts, slop)
+          }
+          Some(withBoost(q))
+        case '[' | '{' =>
+          val inclusive = s.charAt(i) == '['
+          i += 1
+          val lo = rangeTerm()
+          skipWs()
+          val afterLo = rangeTerm()
+          val hi =
+            if (afterLo.equalsIgnoreCase("TO")) { skipWs(); rangeTerm() }
+            else afterLo
+          skipWs()
+          if (i < s.length && (s.charAt(i) == ']' || s.charAt(i) == '}')) i += 1
+          val lower = if (lo == "*") None else Some(lo.toLowerCase)
+          val upper = if (hi == "*") None else Some(hi.toLowerCase)
+          Some(withBoost(TermRangeQ(lower, upper, inclusive, inclusive)))
+        case _ =>
+          val start = i
+          while (i < s.length && !isTermEnd(s.charAt(i))) i += 1
+          if (i == start) { i += 1; return None }
+          var text = s.substring(start, i)
+          // strip a field prefix (single-field engine: field names are
+          // accepted and ignored, matching our fixed-schema data model)
+          val colon = text.indexOf(':')
+          if (colon > 0 && colon < text.length - 1) text = text.substring(colon + 1)
+          // fuzzy?
+          if (i < s.length && s.charAt(i) == '~') {
+            i += 1
+            val sim = number().map(_.toFloat).getOrElse(0.5f)
+            return Some(withBoost(FuzzyQ(text.toLowerCase, sim)))
+          }
+          val q: Query =
+            if (text.contains("*") || text.contains("?")) {
+              val lower = text.toLowerCase
+              if (lower.endsWith("*") && !lower.dropRight(1).exists(c => c == '*' || c == '?'))
+                PrefixQ(lower.dropRight(1))
+              else WildcardQ(lower)
+            } else {
+              val toks = analyzer.analyze(text).map(_.term).toSeq
+              toks match {
+                case Nil => return None
+                case Seq(t) => TermQ(t)
+                case ts => PhraseQ(ts)
+              }
+            }
+          Some(withBoost(q))
+      }
+    }
+
+    private def withBoost(q: Query): Query = {
+      if (i < s.length && s.charAt(i) == '^') {
+        i += 1
+        val b = number().map(_.toFloat).getOrElse(1f)
+        q match {
+          case t: TermQ => t.copy(boost = b)
+          case p: PhraseQ => p.copy(boost = b)
+          case pr: PrefixQ => pr.copy(boost = b)
+          case w: WildcardQ => w.copy(boost = b)
+          case r: TermRangeQ => r.copy(boost = b)
+          case f: FuzzyQ => f.copy(boost = b)
+          case c: ConstantScoreQ => c.copy(boost = b)
+          case d: DisMaxQ => d.copy(boost = b)
+          case other => ConstantScoreQ(other, b) // boosted sub-query
+        }
+      } else q
+    }
+
+    private def rangeTerm(): String = {
+      skipWs()
+      val start = i
+      while (i < s.length && !s.charAt(i).isWhitespace &&
+        s.charAt(i) != ']' && s.charAt(i) != '}') i += 1
+      s.substring(start, i)
+    }
+
+    private def number(): Option[Double] = {
+      val start = i
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+      if (i == start) None else Some(s.substring(start, i).toDouble)
+    }
+
+    private def word(): Option[String] = {
+      skipWs()
+      val start = i
+      if (i < s.length && (s.charAt(i) == '&' || s.charAt(i) == '|' || s.charAt(i) == '!')) {
+        if (s.startsWith("&&", i)) { i += 2; return Some("&&") }
+        if (s.startsWith("||", i)) { i += 2; return Some("||") }
+        if (s.charAt(i) == '!') { i += 1; return Some("!") }
+      }
+      while (i < s.length && s.charAt(i).isUpper) i += 1
+      val w = s.substring(start, i)
+      if ((w == "AND" || w == "OR" || w == "NOT") &&
+        (i >= s.length || s.charAt(i).isWhitespace)) Some(w)
+      else { i = start; None }
+    }
+
+    private def isTermEnd(c: Char): Boolean =
+      c.isWhitespace || c == ')' || c == '(' || c == '^' || c == '~' || c == '"'
+
+    private def skipWs(): Unit = { while (i < s.length && s.charAt(i).isWhitespace) i += 1 }
+    private def expect(c: Char): Unit = { if (i < s.length && s.charAt(i) == c) i += 1 }
+  }
+}
