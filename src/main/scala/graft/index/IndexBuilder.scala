@@ -217,13 +217,15 @@ object IndexBuilder {
   /** "invert" mode consumer: docs arrive sorted by (segId, docId); invert
     * one segment at a time in memory, then stream term-sorted postings into
     * the shared SegmentWriter (identical bytes to the sort path). */
-  private def invertPartitionSegments(
+  private[graft] def invertPartitionSegments(
       it: Iterator[((Int, Long), String)],
       indexDir: String,
       analyzerName: String,
       docsPerSegment: Int,
       numDocs: Long,
-      storePositions: Boolean): Iterator[SegmentMeta] = {
+      storePositions: Boolean,
+      segIdOffset: Int = 0,
+      docIdOffset: Long = 0L): Iterator[SegmentMeta] = {
     val analyzer = Analyzer.byName(analyzerName)
     val metas = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
 
@@ -261,8 +263,8 @@ object IndexBuilder {
       if (segId != curSeg) {
         flushSegment()
         curSeg = segId
-        docBase = segId.toLong * docsPerSegment
-        val docCount = math.min(docsPerSegment.toLong, numDocs - docBase).toInt
+        docBase = docIdOffset + (segId.toLong - segIdOffset) * docsPerSegment
+        val docCount = math.min(docsPerSegment.toLong, docIdOffset + numDocs - docBase).toInt
         writer = new SegmentWriter(indexDir, segId, docBase, docCount, analyzerName, storePositions)
         inv = new java.util.HashMap[String, TermBuf]()
       }

@@ -62,20 +62,68 @@ object IndexMetaIO {
       s""""postingCount":${m.postingCount},"bytes":${m.bytes},""" +
       s""""analyzer":${jsonStr(m.analyzer)},"hasPositions":${m.hasPositions}}"""
 
-  /** Write the driver-side commit snapshot (human-readable lineage). */
-  def writeCommit(indexDir: String, meta: IndexMeta): Unit = {
+  /** Write the driver-side commit snapshot: human-readable lineage JSON +
+    * a binary twin (.segs) that readers load authoritatively — so a crash
+    * BETWEEN a segment publish and its snapshot cannot surface uncommitted
+    * segments to queries (the reference's write-once segments_N semantics,
+    * SegmentInfos.cpp:226-289). `extra` carries e.g. the streaming batch
+    * watermark. */
+  def writeCommit(indexDir: String, meta: IndexMeta, extra: Map[String, String] = Map.empty): Unit = {
     val commitsDir = new File(indexDir, "commits")
     commitsDir.mkdirs()
     val gen = 1 + listCommitGens(commitsDir).foldLeft(-1)(math.max)
     val body = new StringBuilder
     body ++= s"""{"analyzer":${jsonStr(meta.analyzer)},"numDocs":${meta.numDocs},"""
-    body ++= s""""sumDocLength":${meta.sumDocLength},"hasPositions":${meta.hasPositions},"segments":["""
+    body ++= s""""sumDocLength":${meta.sumDocLength},"hasPositions":${meta.hasPositions},"""
+    extra.foreach { case (k, v) => body ++= s"""${jsonStr(k)}:${jsonStr(v)},""" }
+    body ++= s""""segments":["""
     body ++= meta.segments.sortBy(_.segId).map(segmentJson).mkString(",")
     body ++= "]}"
+    val segsBin = new ByteWriter(4096)
+    segsBin.writeString(meta.analyzer)
+    segsBin.writeVLong(meta.numDocs)
+    segsBin.writeVLong(meta.sumDocLength)
+    segsBin.writeByte(if (meta.hasPositions) 1 else 0)
+    segsBin.writeVInt(extra.size)
+    extra.toSeq.sortBy(_._1).foreach { case (k, v) => segsBin.writeString(k); segsBin.writeString(v) }
+    segsBin.writeVInt(meta.segments.size)
+    meta.segments.sortBy(_.segId).foreach { m =>
+      val b = encodeSegment(m)
+      segsBin.writeVInt(b.length)
+      segsBin.writeBytes(b)
+    }
+    val tmpB = new File(commitsDir, s".commit_$gen.segs.tmp")
+    Files.write(tmpB.toPath, segsBin.toArray)
+    Files.move(tmpB.toPath, new File(commitsDir, s"commit_$gen.segs").toPath,
+      StandardCopyOption.ATOMIC_MOVE)
     val tmp = new File(commitsDir, s".commit_$gen.tmp")
     Files.writeString(tmp.toPath, body.toString)
     Files.move(tmp.toPath, new File(commitsDir, s"commit_$gen.json").toPath,
       StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read a binary snapshot; returns (meta, extra). */
+  def readSnapshot(indexDir: String, gen: Int): Option[(IndexMeta, Map[String, String])] = {
+    val f = new File(new File(indexDir, "commits"), s"commit_$gen.segs")
+    if (!f.exists()) return None
+    val r = new ByteReader(Files.readAllBytes(f.toPath))
+    val analyzer = r.readString()
+    val numDocs = r.readVLong()
+    val sumDl = r.readVLong()
+    val hasPos = r.readByte() == 1
+    val nExtra = r.readVInt()
+    val extra = (0 until nExtra).map(_ => (r.readString(), r.readString())).toMap
+    val n = r.readVInt()
+    val segs = (0 until n).map { _ =>
+      val len = r.readVInt()
+      decodeSegment(r.readBytes(len))
+    }
+    Some((IndexMeta(analyzer, numDocs, sumDl, hasPos, segs), extra))
+  }
+
+  def latestGen(indexDir: String): Option[Int] = {
+    val gens = listCommitGens(new File(indexDir, "commits"))
+    if (gens.isEmpty) None else Some(gens.max)
   }
 
   private def listCommitGens(commitsDir: File): Seq[Int] = {
@@ -101,26 +149,19 @@ object IndexMetaIO {
       .sortBy(_.segId)
   }
 
-  /** Read the latest committed snapshot. */
-  def readLatest(indexDir: String): Option[IndexMeta] = {
-    val commitsDir = new File(indexDir, "commits")
-    val gens = listCommitGens(commitsDir)
-    if (gens.isEmpty) None
-    else {
-      // segment set from the binary metas (authoritative); snapshot carries stats
-      val segs = committedSegments(indexDir)
-      val json = Files.readString(new File(commitsDir, s"commit_${gens.max}.json").toPath)
-      // minimal field extraction (we wrote this JSON; no nested strings with braces)
-      def longField(name: String): Long = {
-        val i = json.indexOf(s""""$name":""")
-        java.lang.Long.parseLong(json.drop(i + name.length + 3).takeWhile(c => c.isDigit || c == '-'))
+  /** Read the latest committed snapshot (binary .segs is authoritative —
+    * segments on disk that never made a snapshot are invisible to queries;
+    * legacy fallback scans segment dirs). */
+  def readLatest(indexDir: String): Option[IndexMeta] =
+    latestGen(indexDir).map { gen =>
+      readSnapshot(indexDir, gen).map(_._1).getOrElse {
+        val segs = committedSegments(indexDir)
+        IndexMeta(segs.headOption.map(_.analyzer).getOrElse("standard"),
+          segs.map(_.docCount.toLong).sum, segs.map(_.sumDocLength).sum,
+          segs.forall(_.hasPositions), segs)
       }
-      val analyzer = {
-        val i = json.indexOf("\"analyzer\":\"")
-        json.drop(i + 12).takeWhile(_ != '"')
-      }
-      Some(IndexMeta(analyzer, longField("numDocs"), longField("sumDocLength"),
-        json.contains("\"hasPositions\":true"), segs))
     }
-  }
+
+  def readLatestWithExtra(indexDir: String): Option[(IndexMeta, Map[String, String])] =
+    latestGen(indexDir).flatMap(gen => readSnapshot(indexDir, gen))
 }
