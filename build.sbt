@@ -26,6 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "8g")}",
+  // Catalyst codegen accumulates compiled classes across SparkSessions in
+  // one JVM; the default 240m code cache fills and turns off the JIT
+  // (observed as 10-20x slowdowns in later sessions). Benchmarks need room.
+  "-XX:ReservedCodeCacheSize=1g",
+  // Fixed-size, pre-touched heap: with a growing heap the JVM faults in new
+  // pages during G1 young collections, which showed up as multi-second GC
+  // pauses (56s of GC in one 240k-doc build). Committing once at startup
+  // makes build times stable run-to-run.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

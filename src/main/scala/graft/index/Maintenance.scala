@@ -1,0 +1,163 @@
+package graft.index
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+
+/** Index maintenance: integrity verification (the reference's CheckIndex —
+  * /root/reference/src/core/index/CheckIndex.cpp) and segment merging
+  * (SegmentMerger — /root/reference/src/core/index/SegmentMerger.cpp:88-103:
+  * doc spaces concatenate by base offset, term streams k-way merge). */
+object Maintenance {
+
+  final case class SegmentCheck(segId: Int, ok: Boolean, problems: Seq[String])
+
+  /** Recount every segment's docs/terms/postings from the files and compare
+    * to its lineage row. Runs as one task per segment. */
+  def checkIndex(spark: SparkSession, indexDir: String): Seq[SegmentCheck] = {
+    val meta = IndexMetaIO.readLatest(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no committed index at $indexDir"))
+    val dirs = meta.segments.map(m =>
+      (m.segId, new File(indexDir, SegmentFormat.segDirName(m.segId)).getPath))
+    spark.sparkContext.parallelize(dirs, math.max(1, dirs.size)).map { case (segId, d) =>
+      val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+      try {
+        val r = new SegmentReader(new File(d))
+        val m = r.meta
+        if (m.segId != segId) problems += s"segId mismatch: ${m.segId}"
+        if (r.norms.length != m.docCount) problems += s"norms length ${r.norms.length} != docCount ${m.docCount}"
+        if (r.doclens.length != m.docCount) problems += s"doclens length ${r.doclens.length}"
+        val sumDl = r.doclens.map(_.toLong).sum
+        if (sumDl != m.sumDocLength) problems += s"sumDl $sumDl != ${m.sumDocLength}"
+        var termCount = 0
+        var postingCount = 0L
+        r.allTerms.foreach { ti =>
+          termCount += 1
+          // walk postings, checking doc order and df
+          val pi = r.postings(ti, needPositions = false)
+          var df = 0
+          var prev = -1
+          var d0 = pi.nextDoc()
+          while (d0 != SegmentFormat.NoMoreDocs) {
+            if (d0 <= prev) problems += s"term '${ti.term}': docs out of order"
+            if (d0 >= m.docCount) problems += s"term '${ti.term}': doc $d0 >= docCount"
+            prev = d0
+            df += 1
+            d0 = pi.nextDoc()
+          }
+          if (df != ti.df) problems += s"term '${ti.term}': df $df != ${ti.df}"
+          postingCount += df
+        }
+        if (termCount != m.termCount) problems += s"termCount $termCount != ${m.termCount}"
+        if (postingCount != m.postingCount) problems += s"postingCount $postingCount != ${m.postingCount}"
+      } catch {
+        case e: Throwable => problems += s"unreadable: ${e.getMessage}"
+      }
+      SegmentCheck(segId, problems.isEmpty, problems.toSeq)
+    }.collect().toSeq.sortBy(_.segId)
+  }
+
+  /** Merge ADJACENT segments (contiguous doc ranges) into one: doc spaces
+    * concatenate (localDoc' = docBase - newBase + localDoc), term streams
+    * k-way merge via a simple min-scan over the per-segment sorted
+    * iterators. Produces a segment byte-compatible with a direct build of
+    * the union. Driver-side (one merge = one task's worth of work; a
+    * compaction job maps this over groups of small segments). */
+  def mergeSegments(indexDir: String, segIds: Seq[Int], newSegId: Int): SegmentMeta = {
+    require(segIds.nonEmpty)
+    val readers = segIds.sorted.map(id =>
+      new SegmentReader(new File(indexDir, SegmentFormat.segDirName(id))))
+    // verify adjacency
+    readers.sliding(2).foreach {
+      case Seq(a, b) =>
+        require(a.meta.docBase + a.meta.docCount == b.meta.docBase,
+          s"segments not adjacent: ${a.meta.segId} .. ${b.meta.segId}")
+      case _ =>
+    }
+    val newBase = readers.head.meta.docBase
+    val docCount = readers.map(_.meta.docCount).sum
+    val analyzer = readers.head.meta.analyzer
+    val hasPos = readers.head.meta.hasPositions
+    val writer = new SegmentWriter(indexDir, newSegId, newBase, docCount, analyzer, hasPos)
+
+    // norms/doclens concatenate
+    var off = 0
+    readers.foreach { r =>
+      var i = 0
+      while (i < r.meta.docCount) {
+        writer.addDocLength(off + i, r.doclens(i))
+        i += 1
+      }
+      off += r.meta.docCount
+    }
+
+    // k-way term merge (min-scan; segment count per merge is small)
+    val its = readers.map(_.allTerms.buffered).toArray
+    val bases = readers.map(r => (r.meta.docBase - newBase).toInt).toArray
+    var live = its.indices.filter(its(_).hasNext).toArray
+    while (live.nonEmpty) {
+      val minTerm = live.map(i => its(i).head.term).min
+      var li = 0
+      while (li < live.length) {
+        val i = live(li)
+        if (its(i).hasNext && its(i).head.term == minTerm) {
+          val ti = its(i).next()
+          val pi = readers(i).postings(ti, needPositions = hasPos)
+          var d = pi.nextDoc()
+          while (d != SegmentFormat.NoMoreDocs) {
+            val positions = if (hasPos) pi.positions() else Array.emptyIntArray
+            writer.addPosting(minTerm, bases(i) + d, pi.freq, positions)
+            d = pi.nextDoc()
+          }
+        }
+        li += 1
+      }
+      live = its.indices.filter(its(_).hasNext).toArray
+    }
+    val meta = writer.finish()
+
+    // retire the merged inputs AFTER the new segment is published, then
+    // snapshot (readers only ever see snapshotted sets)
+    meta
+  }
+
+  /** Compact all segments smaller than `minDocs` into their neighbors
+    * (greedy adjacent grouping — the LogMergePolicy level idea simplified),
+    * then write a new snapshot without the retired inputs. */
+  def compact(spark: SparkSession, indexDir: String, minDocs: Int): IndexMeta = {
+    val meta = IndexMetaIO.readLatest(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no committed index at $indexDir"))
+    val segs = meta.segments.sortBy(_.docBase)
+    val nextId = segs.map(_.segId + 1).foldLeft(0)(math.max)
+    // group adjacent runs of small segments
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[SegmentMeta]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+    segs.foreach { s =>
+      if (s.docCount < minDocs &&
+        (cur.isEmpty || cur.last.docBase + cur.last.docCount == s.docBase)) cur += s
+      else {
+        if (cur.size > 1) groups += cur.toSeq
+        cur = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+        if (s.docCount < minDocs) cur += s
+      }
+    }
+    if (cur.size > 1) groups += cur.toSeq
+
+    if (groups.isEmpty) return meta
+    val merged = groups.zipWithIndex.map { case (g, k) =>
+      mergeSegments(indexDir, g.map(_.segId), nextId + k)
+    }
+    val retired = groups.flatten.map(_.segId).toSet
+    val newSegs = (segs.filterNot(s => retired.contains(s.segId)) ++ merged).sortBy(_.docBase)
+    val newMeta = IndexMeta(meta.analyzer, newSegs.map(_.docCount.toLong).sum,
+      newSegs.map(_.sumDocLength).sum, meta.hasPositions, newSegs)
+    IndexMetaIO.writeCommit(indexDir, newMeta)
+    // physical cleanup of retired dirs (safe: snapshot no longer lists them)
+    retired.foreach { id =>
+      val d = new File(indexDir, SegmentFormat.segDirName(id))
+      Option(d.listFiles()).foreach(_.foreach(_.delete()))
+      d.delete()
+    }
+    newMeta
+  }
+}

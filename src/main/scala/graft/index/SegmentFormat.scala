@@ -26,6 +26,11 @@ final case class SegmentMeta(
     analyzer: String,
     hasPositions: Boolean) extends Serializable
 
+/** One term-dictionary entry (df + term-level max-impact metadata +
+  * postings location). */
+final case class TermInfo(term: String, df: Int, maxFreq: Int, minDlByte: Byte,
+    minDl: Int, postingsOffset: Long, postingsBytes: Long)
+
 object SegmentFormat {
   /** Postings per block; also the term-index sampling interval
     * (SURVEY.md §7.3; reference term-index interval 128 —
@@ -293,9 +298,6 @@ final class SegmentReader(val dir: File) {
     val ch = FileChannel.open(f.toPath, StandardOpenOption.READ)
     try ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size()) finally ch.close()
   }
-
-  final case class TermInfo(term: String, df: Int, maxFreq: Int, minDlByte: Byte,
-      minDl: Int, postingsOffset: Long, postingsBytes: Long)
 
   /** Binary search the sampled index, then scan ≤ TermIndexInterval entries. */
   def termInfo(term: String): Option[TermInfo] = {

@@ -17,7 +17,18 @@ object Profile2 {
         .write.mode("overwrite").parquet(s"$work/pages")
       s.stop()
     }
-    def t[A](n: String)(f: => A): A = { val t0=System.nanoTime(); val a=f; println(f"[p2] $n: ${(System.nanoTime()-t0)/1e9}%.2f s"); a }
+    def stats(): String = {
+      import scala.jdk.CollectionConverters._
+      val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => s"${b.getName}:${b.getCollectionCount}/${b.getCollectionTime}ms").mkString(" ")
+      val comp = java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+      val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+      val meta = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .find(_.getName.contains("Metaspace")).map(_.getUsage.getUsed / 1048576).getOrElse(-1L)
+      val threads = java.lang.management.ManagementFactory.getThreadMXBean.getThreadCount
+      s"gc=[$gc] jitMs=$comp metaspaceMB=$meta heapMB=${mem.getHeapMemoryUsage.getUsed/1048576} threads=$threads"
+    }
+    def t[A](n: String)(f: => A): A = { val t0=System.nanoTime(); val a=f; println(f"[p2] $n: ${(System.nanoTime()-t0)/1e9}%.2f s  ${stats()}"); a }
     for ((c, tag) <- Seq((8,"low1"), (8,"low2"), (32,"high1"), (32,"high2"))) {
       val s = sess(c)
       t(s"build@$c($tag)") {

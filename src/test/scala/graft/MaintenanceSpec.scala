@@ -1,0 +1,77 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.SyntheticCorpus
+import graft.index._
+import graft.score.BM25
+import graft.search.{BoolQ, IndexSearcher, TermQ}
+
+class MaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def texts(n: Int) = SyntheticCorpus.localPages(n, seed = 21, avgLen = 25, vocab = 60).map(_.text)
+
+  test("checkIndex passes on a fresh index and catches corruption") {
+    val dir = Files.createTempDirectory("graft-check").toString
+    LocalIndex.build(dir, texts(120).zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      "standard", docsPerSegment = 40)
+    val checks = Maintenance.checkIndex(spark, dir)
+    assert(checks.size == 3 && checks.forall(_.ok), checks)
+
+    // corrupt one segment's norms
+    val normsFile = new File(dir, SegmentFormat.segDirName(1) + "/norms.bin")
+    Files.write(normsFile.toPath, Array.fill[Byte](7)(1))
+    graft.search.ReaderCache.clear()
+    val checks2 = Maintenance.checkIndex(spark, dir)
+    assert(checks2.count(!_.ok) == 1, checks2)
+  }
+
+  test("merged segment files are byte-identical to a direct single-segment build") {
+    val ts = texts(90)
+    val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val multi = Files.createTempDirectory("graft-m1").toString
+    val single = Files.createTempDirectory("graft-m2").toString
+    LocalIndex.build(multi, docs, "standard", docsPerSegment = 30)
+    LocalIndex.build(single, docs, "standard", docsPerSegment = Int.MaxValue)
+
+    val merged = Maintenance.mergeSegments(multi, Seq(0, 1, 2), newSegId = 3)
+    assert(merged.docCount == 90)
+    for (f <- Seq("terms.bin", "postings.bin", "norms.bin", "doclens.bin", "terms.idx")) {
+      val a = Files.readAllBytes(new File(multi, SegmentFormat.segDirName(3) + "/" + f).toPath)
+      val b = Files.readAllBytes(new File(single, SegmentFormat.segDirName(0) + "/" + f).toPath)
+      assert(java.util.Arrays.equals(a, b), s"$f differs after merge")
+    }
+  }
+
+  test("compaction of streaming mini-segments preserves query results") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val ts = texts(60)
+    // ingest as 6 tiny batches -> 6 segments
+    ts.grouped(10).zipWithIndex.foreach { case (g, b) =>
+      val df = g.zipWithIndex.map { case (t, i) => (f"u${b * 10 + i}%04d", t) }.toDF("url", "text")
+      graft.streaming.StreamingIndexer.appendBatch(spark, df, dir, docsPerSegment = 1 << 20, batchId = b)
+    }
+    val before = new IndexSearcher(spark, dir)
+    assert(before.meta.segments.size == 6)
+    val q = BoolQ(should = Seq(TermQ("w1"), TermQ("w7")))
+    val hitsBefore = before.search(q, 10, BM25())
+
+    val after = Maintenance.compact(spark, dir, minDocs = 100)
+    assert(after.segments.size == 1, after.segments)
+    graft.search.ReaderCache.clear()
+    val hitsAfter = new IndexSearcher(spark, dir).search(q, 10, BM25())
+    assert(hitsAfter.toSeq == hitsBefore.toSeq)
+    assert(Maintenance.checkIndex(spark, dir).forall(_.ok))
+  }
+}
