@@ -53,6 +53,7 @@ object Filters {
         while (nextTok == null && in.hasNext) {
           val t = in.next()
           if (stop.contains(t.term)) pending += t.posIncr
+          else if (pending == 0) nextTok = t // no copy on the common path
           else { nextTok = t.copy(posIncr = t.posIncr + pending); pending = 0 }
         }
       }

@@ -73,6 +73,7 @@ object ClassicScanner {
     private var i = 0
     private var pendingIncr = 1
     private var nextTok: Token = null
+    private val cand0 = new Cand // reused across tokens (no per-token alloc)
     advance()
 
     override def hasNext: Boolean = nextTok != null
@@ -89,7 +90,7 @@ object ClassicScanner {
           emit(i, i + 1, TokenType.CJ)
           i += 1
         } else if (isAlnum(c)) {
-          val cand = matchAt(s, i)
+          val cand = matchAt(s, i, cand0)
           val end = i + cand.len
           if (cand.len <= maxTokenLength) {
             if (cand.tpe == TokenType.ACRONYM_DEP)
@@ -107,11 +108,20 @@ object ClassicScanner {
     }
   }
 
+  /** True for chars that can extend a match beyond a plain alphanumeric
+    * run (connectors of APOSTROPHE/ACRONYM/COMPANY/EMAIL/HOST/NUM). */
+  @inline private def isConnector(c: Char): Boolean =
+    c == '\'' || c == '.' || c == '-' || c == '_' || c == '/' || c == ',' ||
+      c == '@' || c == '&'
+
   /** Compute the winning (longest, then highest-priority) match at position
-    * `i`; `s(i)` is alphanumeric. */
-  private def matchAt(s: String, i: Int): Cand = {
+    * `i`; `s(i)` is alphanumeric. `cand` is caller-owned and reset here (one
+    * instance per tokenize call — this runs per token on a 100 TB corpus). */
+  private def matchAt(s: String, i: Int, cand: Cand): Cand = {
     val n = s.length
-    val cand = new Cand
+    cand.len = 0
+    cand.tpe = -1
+    cand.prio = Int.MaxValue
 
     // maximal alphanumeric run, tracking letter-purity for ALPHA-based rules
     var j = i
@@ -122,6 +132,10 @@ object ClassicScanner {
     }
     val runLen = j - i
     cand.offer(runLen, TokenType.ALPHANUM, 0)
+
+    // fast path: nothing after the run can extend it → plain ALPHANUM
+    // (the overwhelmingly common case; skips the multi-segment matchers)
+    if (j >= n || !isConnector(s.charAt(j))) return cand
 
     // APOSTROPHE = ALPHA ("'" ALPHA)+
     if (allLetters && j < n && s.charAt(j) == '\'') {
