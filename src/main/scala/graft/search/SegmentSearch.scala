@@ -182,6 +182,7 @@ object SegmentSearch {
   /** Top-k over one segment. Returns GLOBAL docIds. */
   def topK(reader: SegmentReader, q0: Query, k: Int, sim: Similarity,
       stats: CorpusStats, df: String => Long, useWand: Boolean = true): Array[ScoredDoc] = {
+    if (k <= 0) return Array.empty
     val q = Query.rewrite(q0)
     val collector = new TopKCollector(k)
     val docBase = reader.meta.docBase

@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.analysis.WhitespaceAnalyzer
+import graft.index.{IndexBuilder, IndexConfig, Maintenance}
+import graft.score.BM25
+import graft.search.{IndexSearcher, QueryParser}
+import graft.streaming.StreamingIndexer
+
+/** End-to-end consumer of the public API — build, parse+search, stream-
+  * append, compact, verify. Doubles as usage documentation. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-demo").toString
+
+    // 1. build an index over the driver's documents table
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(format_string("%012d", col("doc_id")).as("url"), col("text"))
+    val report = IndexBuilder.build(spark, docs,
+      IndexConfig(dir, analyzer = "whitespace", docsPerSegment = 16, writeDocMap = false))
+    println(s"[demo] built ${report.builtSegments} segments over ${report.numDocs} docs")
+
+    // 2. parse a classic-syntax query and search BM25 top-5
+    val searcher = new IndexSearcher(spark, dir)
+    val q = QueryParser.parse("batch AND (window OR merge) -spark", WhitespaceAnalyzer)
+    println(s"[demo] parsed: $q")
+    searcher.search(q, 5, BM25()).foreach(h => println(f"[demo] hit doc=${h.docId} score=${h.score}%.4f"))
+
+    // 3. a phrase + a fuzzy query
+    searcher.search(QueryParser.parse("\"key agg\"", WhitespaceAnalyzer), 3, BM25())
+      .foreach(h => println(f"[demo] phrase hit doc=${h.docId} score=${h.score}%.4f"))
+    searcher.search(QueryParser.parse("windwo~", WhitespaceAnalyzer), 3, BM25())
+      .foreach(h => println(f"[demo] fuzzy hit doc=${h.docId} score=${h.score}%.4f"))
+
+    // 4. append a streaming batch; re-query sees the new doc
+    StreamingIndexer.appendBatch(spark,
+      Seq(("zzzz-new-doc", "a freshly streamed batch window document")).toDF("url", "text"),
+      dir, analyzer = "whitespace", docsPerSegment = 16, batchId = 0)
+    val s2 = new IndexSearcher(spark, dir)
+    println(s"[demo] after append: numDocs=${s2.meta.numDocs} segments=${s2.meta.segments.size}")
+    val hits2 = s2.search(QueryParser.parse("freshly", WhitespaceAnalyzer), 3, BM25())
+    println(s"[demo] new doc found: ${hits2.map(_.docId).mkString(",")}")
+
+    // 5. compact + integrity check
+    val compacted = Maintenance.compact(spark, dir, minDocs = 1000)
+    graft.search.ReaderCache.clear()
+    println(s"[demo] compacted to ${compacted.segments.size} segment(s)")
+    val checks = Maintenance.checkIndex(spark, dir)
+    println(s"[demo] checkIndex: ${checks.count(_.ok)}/${checks.size} ok")
+    val hits3 = new IndexSearcher(spark, dir).search(QueryParser.parse("freshly", WhitespaceAnalyzer), 3, BM25())
+    println(s"[demo] post-compact new doc still found: ${hits3.map(_.docId).mkString(",")}")
+
+    // probes
+    println("[demo] probe empty-result: " +
+      new IndexSearcher(spark, dir).search(QueryParser.parse("qqqqzzzz", WhitespaceAnalyzer), 5, BM25()).length)
+    println("[demo] probe garbage query parses to: " + QueryParser.parse("(((", WhitespaceAnalyzer))
+    try { new IndexSearcher(spark, "/tmp/definitely-no-index"); println("[demo] probe missing index: NO ERROR (bad)") }
+    catch { case e: IllegalStateException => println("[demo] probe missing index: " + e.getMessage) }
+    println("[demo] probe k=0: " +
+      new IndexSearcher(spark, dir).search(QueryParser.parse("batch", WhitespaceAnalyzer), 0, BM25()).length)
+    spark.stop()
+  }
+}
