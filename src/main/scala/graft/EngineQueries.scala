@@ -23,15 +23,27 @@ object EngineQueries {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft-index-" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
       val committed = IndexMetaIO.readLatest(dir)
+        .filter(_ => new java.io.File(dir, "docmap/_SUCCESS").exists())
       if (committed.isEmpty) {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val corpus = docs.select(format_string("%012d", col("doc_id")).as("url"), col("text"))
         IndexBuilder.build(spark, corpus,
           IndexConfig(dir, analyzer = "whitespace", docsPerSegment = 256,
-            storePositions = true, writeDocMap = false))
+            storePositions = true, writeDocMap = true))
       }
       new IndexSearcher(spark, dir)
     })
+
+  /** Stored-field fetch: hits joined back to the (docId, url) map — the
+    * "source table IS the doc store" pattern (SURVEY.md §2.1 stored-fields
+    * scan = broadcast lookup join). */
+  def topKWithUrls(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame = {
+    val s = searcher(spark, sfDir)
+    val hits = toDF(spark, s.search(q, k, BM25Exact()))
+    val docmap = spark.read.parquet(s.indexDir + "/docmap")
+    hits.join(broadcast(docmap), hits("doc_id") === docmap("docId"))
+      .select(hits("doc_id"), docmap("url"), hits("score"))
+  }
 
   private def toDF(spark: SparkSession, hits: Array[graft.search.ScoredDoc]): DataFrame = {
     import spark.implicits._

@@ -140,6 +140,18 @@ object SparkEntry {
     "phrase_match" -> ((s, dir) =>
       EngineQueries.matchingDocs(s, dir, PhraseQ(Seq("key", "agg")))),
 
+    // the classic-syntax parser front-end produces the same plan as
+    // bm25_topk — same oracle, different entry path
+    "bm25_parsed" -> ((s, dir) =>
+      EngineQueries.topK(s, dir,
+        graft.search.QueryParser.parse("window spark merge",
+          graft.analysis.WhitespaceAnalyzer), 10)),
+
+    // stored-field fetch: hits joined to the docmap (url = padded doc_id)
+    "doc_fetch" -> ((s, dir) =>
+      EngineQueries.topKWithUrls(s, dir,
+        BoolQ(should = Seq(TermQ("window"), TermQ("spark"), TermQ("merge"))), 10)),
+
     // -- dedup family
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(tbl(s, dir, "documents"))),
 
@@ -244,6 +256,16 @@ object SparkEntry {
     "bm25_topk" ->
       s"""${bm25Cte("'window', 'spark', 'merge'")}
          |SELECT doc_id, round(score, 4) AS score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "bm25_parsed" ->
+      s"""${bm25Cte("'window', 'spark', 'merge'")}
+         |SELECT doc_id, round(score, 4) AS score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "doc_fetch" ->
+      s"""${bm25Cte("'window', 'spark', 'merge'")}
+         |SELECT doc_id, printf('%012d', doc_id) AS url, round(score, 4) AS score FROM sc
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "bm25_and" ->
