@@ -76,6 +76,26 @@ object BruteForce {
 
     case MatchAllQ => Some(queryNorm.toDouble)
 
+    case FilteredQ(q2, f) =>
+      if (scoreDoc(f, doc, sim, st, dfm, queryNorm).isEmpty) None
+      else scoreDoc(q2, doc, sim, st, dfm, queryNorm)
+
+    case MultiPhraseQ(slots, boost) =>
+      val arrs = slots.zipWithIndex.map { case (alts, i) =>
+        alts.flatMap(t => doc.termPositions.getOrElse(t, Array.emptyIntArray).map(_ - i))
+          .distinct.sorted.toArray
+      }
+      if (arrs.exists(_.isEmpty)) None
+      else {
+        val pf = arrs.head.count(p => arrs.tail.forall(_.contains(p)))
+        if (pf == 0) None
+        else {
+          val idfSum = slots.flatten.map(t => sim.idf(dfm.getOrElse(t, 0L), st)).sum
+          val norm = SmallFloat.encodeNorm(doc.dl)
+          Some(sim.phraseWeight(idfSum, boost, queryNorm, st).score(pf.toFloat, norm, doc.dl))
+        }
+      }
+
     case ConstantScoreQ(inner, boost) =>
       scoreDoc(inner, doc, sim, st, dfm, queryNorm)
         .map(_ => (boost * queryNorm).toDouble)

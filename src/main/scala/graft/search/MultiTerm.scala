@@ -130,6 +130,7 @@ object MultiTerm {
         n.map(expand(_, termsFrom)), msm)
     case ConstantScoreQ(inner, boost) => ConstantScoreQ(expand(inner, termsFrom), boost)
     case DisMaxQ(ds, tie, boost) => DisMaxQ(ds.map(expand(_, termsFrom)), tie, boost)
+    case FilteredQ(q2, f) => FilteredQ(expand(q2, termsFrom), expand(f, termsFrom))
     case other => other
   }
 }

@@ -24,6 +24,14 @@ final case class BoolQ(
 
 case object MatchAllQ extends Query
 
+/** Query AND filter: matches their intersection, scored by `query` alone
+  * (reference FilteredQuery.cpp — the filter contributes no score). */
+final case class FilteredQ(query: Query, filter: Query) extends Query
+
+/** Phrase with term alternatives per position
+  * (reference MultiPhraseQuery.cpp); exact matching (slop 0). */
+final case class MultiPhraseQ(slots: Seq[Seq[String]], boost: Float = 1f) extends Query
+
 /** Uniform-score wrapper (reference ConstantScoreQuery.cpp): matching docs
   * of the inner query all score `boost` (x queryNorm under classic). */
 final case class ConstantScoreQ(inner: Query, boost: Float = 1f) extends Query
@@ -68,15 +76,19 @@ object Query {
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(allTerms).toSet
     case ConstantScoreQ(inner, _) => allTerms(inner)
     case DisMaxQ(ds, _, _) => ds.flatMap(allTerms).toSet
+    case FilteredQ(q2, f) => allTerms(q2) ++ allTerms(f)
+    case MultiPhraseQ(slots, _) => slots.flatten.toSet
     case _: MultiTermQ => Set.empty
     case MatchAllQ => Set.empty
   }
 
   def needsPositions(q: Query): Boolean = q match {
     case _: PhraseQ => true
+    case _: MultiPhraseQ => true
     case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(needsPositions)
     case ConstantScoreQ(inner, _) => needsPositions(inner)
     case DisMaxQ(ds, _, _) => ds.exists(needsPositions)
+    case FilteredQ(q2, f) => needsPositions(q2) || needsPositions(f)
     case _ => false
   }
 
@@ -85,6 +97,7 @@ object Query {
     case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(hasMultiTerm)
     case ConstantScoreQ(inner, _) => hasMultiTerm(inner)
     case DisMaxQ(ds, _, _) => ds.exists(hasMultiTerm)
+    case FilteredQ(q2, f) => hasMultiTerm(q2) || hasMultiTerm(f)
     case _ => false
   }
 

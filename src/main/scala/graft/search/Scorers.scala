@@ -370,3 +370,90 @@ final class SloppyPhraseScorer(
     weight.score(_freq.toFloat, norms(d), doclens(d))
   }
 }
+
+/** Query ∧ filter, scored by the query alone
+  * (reference FilteredQuery.cpp — leapfrog intersect,
+  * IndexSearcher.cpp:125-167). */
+final class FilteredScorer(query: Scorer, filter: Scorer) extends Scorer {
+  private val both = new ConjunctionScorer(Array(query, filter))
+  override def docID: Int = both.docID
+  override def nextDoc(): Int = both.nextDoc()
+  override def advance(target: Int): Int = both.advance(target)
+  override def score(): Double = query.score()
+}
+
+/** Phrase with per-position term alternatives, exact matching
+  * (reference MultiPhraseQuery.cpp): doc-level conjunction of per-slot
+  * disjunctions, then position intersection over per-slot position UNIONS. */
+final class MultiPhraseScorer(
+    slots: Array[Array[PostingsIterator]],
+    weight: TermWeight,
+    norms: Array[Byte],
+    doclens: Array[Int]) extends Scorer {
+
+  // per-slot doc iterator = min over the slot's term iterators
+  private final class SlotScorer(pis: Array[PostingsIterator]) extends Scorer {
+    private var _doc = -1
+    private var started = false
+    override def docID: Int = _doc
+    override def nextDoc(): Int = {
+      if (_doc == Scorer.NoMoreDocs) return _doc
+      if (!started) { var i = 0; while (i < pis.length) { pis(i).nextDoc(); i += 1 }; started = true }
+      else { var i = 0; while (i < pis.length) { if (pis(i).docID == _doc) pis(i).nextDoc(); i += 1 } }
+      var min = Scorer.NoMoreDocs
+      var i = 0
+      while (i < pis.length) { if (pis(i).docID < min) min = pis(i).docID; i += 1 }
+      _doc = min
+      _doc
+    }
+    override def advance(target: Int): Int = {
+      if (_doc == Scorer.NoMoreDocs) return _doc
+      if (!started) { var i = 0; while (i < pis.length) { pis(i).nextDoc(); i += 1 }; started = true }
+      var i = 0
+      while (i < pis.length) { if (pis(i).docID < target) pis(i).advance(target); i += 1 }
+      var min = Scorer.NoMoreDocs
+      i = 0
+      while (i < pis.length) { if (pis(i).docID < min) min = pis(i).docID; i += 1 }
+      _doc = min
+      _doc
+    }
+    override def score(): Double = 0.0
+    /** offset-adjusted sorted distinct position union at the current doc. */
+    def positionsAt(doc: Int, offset: Int): Array[Int] = {
+      val all = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < pis.length) {
+        if (pis(i).docID == doc) all ++= pis(i).positions().map(_ - offset)
+        i += 1
+      }
+      all.distinct.sorted.toArray
+    }
+  }
+
+  private val slotScorers = slots.map(new SlotScorer(_))
+  private val inner = new ConjunctionScorer(slotScorers.map(s => s: Scorer))
+  private var _freq = 0
+
+  override def docID: Int = inner.docID
+  override def nextDoc(): Int = toMatch(inner.nextDoc())
+  override def advance(target: Int): Int = toMatch(inner.advance(target))
+
+  private def toMatch(first: Int): Int = {
+    var d = first
+    while (d != Scorer.NoMoreDocs) {
+      val arrs = slotScorers.zipWithIndex.map { case (s, i) => s.positionsAt(d, i) }
+      _freq =
+        if (arrs.exists(_.isEmpty)) 0
+        else arrs(0).count(p => (1 until arrs.length).forall(i =>
+          java.util.Arrays.binarySearch(arrs(i), p) >= 0))
+      if (_freq > 0) return d
+      d = inner.nextDoc()
+    }
+    d
+  }
+
+  override def score(): Double = {
+    val d = inner.docID
+    weight.score(_freq.toFloat, norms(d), doclens(d))
+  }
+}

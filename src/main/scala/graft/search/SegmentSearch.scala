@@ -78,6 +78,9 @@ object SegmentSearch {
     case TermQ(t, boost) => sim.queryWeightSq(df(t), boost, stats)
     case PhraseQ(ts, _, boost) =>
       sim.phraseWeightSq(ts.map(t => sim.idf(df(t), stats)).sum, boost)
+    case MultiPhraseQ(slots, boost) =>
+      sim.phraseWeightSq(slots.flatten.map(t => sim.idf(df(t), stats)).sum, boost)
+    case FilteredQ(q2, _) => sumOfSquaredWeights(q2, sim, stats, df)
     case BoolQ(m, s, _, _) => (m ++ s).map(sumOfSquaredWeights(_, sim, stats, df)).sum
     case MatchAllQ => sim.constWeightSq(1f)
     case ConstantScoreQ(_, boost) => sim.constWeightSq(boost)
@@ -118,6 +121,23 @@ object SegmentSearch {
 
     case MatchAllQ =>
       Some(new MatchAllScorer(reader.meta.docCount, queryNorm))
+
+    case FilteredQ(q2, f) =>
+      for {
+        qs <- scorer(q2, reader, sim, stats, df, queryNorm)
+        fs <- scorer(f, reader, sim, stats, df, queryNorm)
+      } yield new FilteredScorer(qs, fs)
+
+    case MultiPhraseQ(slots, boost) =>
+      // every slot needs at least one present alternative
+      val present = slots.map(_.flatMap(t => reader.termInfo(t)))
+      if (present.exists(_.isEmpty)) None
+      else {
+        val idfSum = slots.flatten.map(t => sim.idf(df(t), stats)).sum
+        val w = sim.phraseWeight(idfSum, boost, queryNorm, stats)
+        val pis = present.map(_.map(ti => reader.postings(ti, needPositions = true)).toArray).toArray
+        Some(new MultiPhraseScorer(pis, w, reader.norms, reader.doclens))
+      }
 
     case ConstantScoreQ(inner, boost) =>
       scorer(inner, reader, sim, stats, df, queryNorm)

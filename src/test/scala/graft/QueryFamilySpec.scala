@@ -121,6 +121,29 @@ class QueryFamilySpec extends AnyFunSuite {
     checkAll(texts, "standard", queries, dps = 31)
   }
 
+  test("filtered query: scores from query, matches restricted by filter") {
+    checkAll(docs, "whitespace", Seq(
+      FilteredQ(TermQ("apple"), TermQ("banana")),
+      FilteredQ(BoolQ(should = Seq(TermQ("apple"), TermQ("melon"))),
+        TermRangeQ(Some("a"), Some("n"))),
+      FilteredQ(MatchAllQ, TermQ("zebra"))))
+  }
+
+  test("multi-phrase: term alternatives per position") {
+    // docs(0): "apple apply application banana" — [apple|apply] [application|banana]?
+    checkAll(docs, "whitespace", Seq(
+      MultiPhraseQ(Seq(Seq("apple", "apply"), Seq("banana", "cherry"))),
+      MultiPhraseQ(Seq(Seq("apple"), Seq("apply", "banana"))),
+      MultiPhraseQ(Seq(Seq("grape", "melange"), Seq("grapefruit", "melon"))),
+      MultiPhraseQ(Seq(Seq("nosuch"), Seq("apple")))))
+    // direct semantics check: doc1 "apple banana …" and doc2 "apply maple …"
+    // both have [apple|apply] immediately followed by [banana|maple]
+    val dir = indexOf(docs, "whitespace")
+    val hits = graft.index.LocalIndex.search(dir,
+      MultiPhraseQ(Seq(Seq("apple", "apply"), Seq("banana", "maple"))), 10, BM25())
+    assert(hits.map(_.docId).toSet == Set(1L, 2L))
+  }
+
   test("multi-term expansion across many segments matches single segment") {
     val texts = SyntheticCorpus.localPages(150, seed = 4, avgLen = 25, vocab = 80).map(_.text)
     val q = BoolQ(should = Seq(PrefixQ("w1", constantScore = false), FuzzyQ("w22")))
