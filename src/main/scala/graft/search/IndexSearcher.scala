@@ -72,6 +72,7 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
       case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(collectNodes)
       case ConstantScoreQ(inner, _) => collectNodes(inner)
       case DisMaxQ(ds, _, _) => ds.flatMap(collectNodes)
+      case FilteredQ(q2, f) => collectNodes(q2) ++ collectNodes(f)
       case _ => Nil
     }
     val nodes: Seq[MultiTermQ] = queries.flatMap { case (_, q) => collectNodes(q) }.distinct
@@ -110,6 +111,7 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
         BoolQ(m.map(rewriteTree), s.map(rewriteTree), n.map(rewriteTree), msm)
       case ConstantScoreQ(inner, boost) => ConstantScoreQ(rewriteTree(inner), boost)
       case DisMaxQ(ds, tie, boost) => DisMaxQ(ds.map(rewriteTree), tie, boost)
+      case FilteredQ(q2, f) => FilteredQ(rewriteTree(q2), rewriteTree(f))
       case other => other
     }
     queries.map { case (id, q) => id -> rewriteTree(q) }

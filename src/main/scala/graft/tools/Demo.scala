@@ -57,6 +57,15 @@ object Demo {
     val hits3 = new IndexSearcher(spark, dir).search(QueryParser.parse("freshly", WhitespaceAnalyzer), 3, BM25())
     println(s"[demo] post-compact new doc still found: ${hits3.map(_.docId).mkString(",")}")
 
+    // filtered + multi-phrase through the public API
+    import graft.search.{FilteredQ, MultiPhraseQ, TermQ => TQ, TermRangeQ}
+    new IndexSearcher(spark, dir)
+      .search(FilteredQ(TQ("window"), TermRangeQ(Some("a"), Some("n"))), 3, BM25())
+      .foreach(h => println(f"[demo] filtered hit doc=${h.docId} score=${h.score}%.4f"))
+    new IndexSearcher(spark, dir)
+      .search(MultiPhraseQ(Seq(Seq("key", "row"), Seq("agg", "scan"))), 3, BM25())
+      .foreach(h => println(f"[demo] multiphrase hit doc=${h.docId} score=${h.score}%.4f"))
+
     // probes
     println("[demo] probe empty-result: " +
       new IndexSearcher(spark, dir).search(QueryParser.parse("qqqqzzzz", WhitespaceAnalyzer), 5, BM25()).length)

@@ -59,7 +59,10 @@ class SparkIndexSpec extends AnyFunSuite {
       "t1" -> TermQ("w3"),
       "or" -> BoolQ(should = Seq(TermQ("w1"), TermQ("w7"), TermQ("w31"))),
       "and" -> BoolQ(must = Seq(TermQ("w2"), TermQ("w5"))),
-      "not" -> BoolQ(must = Seq(TermQ("w1")), mustNot = Seq(TermQ("w9"))))
+      "not" -> BoolQ(must = Seq(TermQ("w1")), mustNot = Seq(TermQ("w9"))),
+      // multi-term nodes distributed-expanded, incl. inside a filter
+      "prefix" -> PrefixQ("w1", constantScore = false),
+      "filtered" -> FilteredQ(TermQ("w2"), TermRangeQ(Some("w1"), Some("w4"))))
     val got = searcher.searchBatch(queries, 10, BM25())
     queries.foreach { case (id, q) =>
       val spec = BruteForce.search(bfDocs, q, 10, BM25())
