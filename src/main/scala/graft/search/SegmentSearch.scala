@@ -284,6 +284,14 @@ object SegmentSearch {
           }
         }
         if (pivot == -1) done = true // no prefix can compete
+        else {
+          // extend the prefix over iterators tied on the pivot doc: they
+          // contribute to the candidate's real score, so both the block-max
+          // bound and the deep skip must include them or the skip is
+          // inadmissible (drops true hits)
+          while (p + 1 < m && pis(order(p + 1)).docID == pivot) p += 1
+        }
+        if (pivot == -1) ()
         else if (pis(order(0)).docID == pivot) {
           // block-max refinement over the prefix (headers only, no decode)
           var blockAcc = 0.0
@@ -316,8 +324,13 @@ object SegmentSearch {
             }
           } else {
             // nothing in these blocks can compete: jump the whole prefix
-            // past the earliest block boundary — the BMW deep skip
-            val target = math.max(pivot + 1, minBlockEnd + 1)
+            // past the earliest block boundary — the BMW deep skip. The
+            // target must not pass the first iterator beyond the prefix:
+            // docs in (pivot, minBlockEnd] where that iterator lands were
+            // never counted in blockAcc, so skipping them is inadmissible.
+            var target = math.max(pivot + 1, minBlockEnd + 1)
+            if (p + 1 < m)
+              target = math.min(target, math.max(pivot + 1, pis(order(p + 1)).docID))
             var j = 0
             while (j <= p && j < m) {
               val it = pis(order(j))

@@ -175,4 +175,42 @@ class EngineSpec extends AnyFunSuite {
         BoolQ(must = Seq(TermQ("common"), TermQ("filler")))),
       dps = 97)
   }
+
+  test("wand stress: skewed tf/doclen OR queries rank-identical to spec") {
+    // Adversarial corpus for BMW admissibility: tf spikes (30 among 1s) and
+    // doc-length spikes make per-block maxima genuinely below the term upper
+    // bounds, so the deep-skip branch fires against real competitors. Guards
+    // under test: pivot-prefix extension over tied iterators, and the skip
+    // target capped at the first beyond-prefix iterator's docID.
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val texts = (0 until 1500).map { _ =>
+      val sb = new StringBuilder
+      rnd.shuffle(vocab).take(1 + rnd.nextInt(4)).foreach { t =>
+        val tf = if (rnd.nextDouble() < 0.05) 30 else 1
+        var j = 0; while (j < tf) { sb.append(t).append(' '); j += 1 }
+      }
+      // mostly long docs (low per-doc scores, but term maxFreq × min corpus
+      // doclen inflates the term upper bounds); a few short docs where
+      // co-occurring tf=1 terms are the genuine top hits
+      val fill = rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(5)
+        case 1 => 30 + rnd.nextInt(50)
+        case _ => 150 + rnd.nextInt(250)
+      }
+      var j = 0; while (j < fill) { sb.append('x').append(j % 17).append(' '); j += 1 }
+      sb.toString
+    }
+    val dir = indexOf(texts, "whitespace")
+    val corpus = bfCorpus(texts, "whitespace")
+    val boosts = Array(0.25f, 1f, 4f)
+    for (sim <- Seq[Similarity](BM25(), BM25Exact()); run <- 0 until 300) {
+      val q = BoolQ(should = rnd.shuffle(vocab).take(2 + rnd.nextInt(3))
+        .map(t => TermQ(t, boosts(rnd.nextInt(3)))))
+      val k = 1 + rnd.nextInt(3)
+      val engine = LocalIndex.search(dir, q, k, sim, useWand = true)
+      val spec = BruteForce.search(corpus, q, k, sim)
+      assertSame(engine, spec, s"run=$run sim=$sim k=$k q=$q")
+    }
+  }
 }
