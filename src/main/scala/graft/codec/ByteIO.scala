@@ -12,9 +12,14 @@ final class ByteWriter(initial: Int = 256) {
 
   @inline private def ensure(extra: Int): Unit = {
     if (len + extra > buf.length) {
-      var cap = buf.length * 2
+      // Hard 2 GiB ceiling: files are written from one int-indexed buffer
+      // and read back through a single MappedByteBuffer, both int-limited.
+      require(len.toLong + extra <= Int.MaxValue - 8,
+        s"file buffer would exceed 2 GiB (${len.toLong + extra} bytes); " +
+          "graft segment files are int-addressed — reduce docsPerSegment")
+      var cap = buf.length.toLong * 2
       while (cap < len + extra) cap *= 2
-      buf = java.util.Arrays.copyOf(buf, cap)
+      buf = java.util.Arrays.copyOf(buf, math.min(cap, Int.MaxValue - 8).toInt)
     }
   }
 

@@ -1,7 +1,6 @@
 package graft.index
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.storage.StorageLevel
 
 import graft.analysis.Analyzer
 
@@ -47,15 +46,17 @@ final case class BuildReport(
   *
   * Shape of the job — designed for 10^12 docs / 1000 executors:
   *
-  *  1. global sort by `url` + zipWithIndex → dense deterministic docIDs.
-  *     Rank-identical output across cluster sizes requires ids that do not
-  *     depend on partitioning; a total order + rank is the only assignment
-  *     with that property (SURVEY.md §7.4-2). This is the one place we drop
-  *     to the RDD API — zipWithIndex's per-partition count + exclusive scan
-  *     has no Dataset equivalent.
-  *  2. resume filter: docId ranges whose segment already has a committed
-  *     meta on disk are skipped BEFORE tokenization (anti-join on segId
-  *     against the lineage — north rule resumability).
+  *  1. global sort by `url` + per-partition count / exclusive scan → dense
+  *     deterministic docIDs. Rank-identical output across cluster sizes
+  *     requires ids that do not depend on partitioning; a total order +
+  *     rank is the only assignment with that property (SURVEY.md §7.4-2).
+  *     This is the one place we drop to the RDD API — the count + scan has
+  *     no Dataset equivalent. The corpus is never cached: every job reuses
+  *     the sort's shuffle files.
+  *  2. resume filter: docs inside any committed segment's [docBase,
+  *     docBase+docCount) range are skipped BEFORE tokenization (range, not
+  *     segId, so compacted segments resume correctly — north rule
+  *     resumability).
   *  3. tokenize in `mapPartitions` (per-doc hash-agg of term freqs: tf
   *     needs no shuffle — SURVEY.md §2.4), emitting posting rows keyed by
   *     segId = docId / docsPerSegment.
@@ -81,24 +82,47 @@ object IndexBuilder {
     val analyzer = Analyzer.byName(cfg.analyzer)
     val committed = IndexMetaIO.committedSegments(cfg.indexDir)
       .filter(m => m.analyzer == cfg.analyzer && m.hasPositions == cfg.storePositions)
-    val committedIds = committed.map(_.segId).toSet
+    val dps0 = cfg.docsPerSegment
+    // Resume skips by committed DOC RANGE, not segId: compaction produces
+    // fresh segIds covering several original ranges, and a segId-based skip
+    // would rebuild those docs alongside the merged segment (overlapping
+    // ranges, duplicate docIds). Ranges must stay aligned to docsPerSegment
+    // so the remaining docs form whole buildable segments.
+    val committedRanges: Array[(Long, Long)] =
+      committed.map(m => (m.docBase, m.docBase + m.docCount)).sortBy(_._1).toArray
+    committedRanges.foreach { case (s, _) =>
+      require(s % dps0 == 0,
+        s"cannot resume: committed segment docBase $s is not aligned to docsPerSegment=$dps0")
+    }
 
-    // (1) deterministic dense docIDs: global url order → rank. Persist the
-    // sorted base BEFORE zipWithIndex: its internal count job and the
-    // downstream consumption then both read the cached sort instead of
-    // re-sorting (one wide sort total).
+    // (1) deterministic dense docIDs: global url order → rank, via explicit
+    // per-partition counts + exclusive scan. The sort's shuffle files are
+    // reused by every job below (count, docmap, build), so the corpus is
+    // never cached — at 10^12 docs a MEMORY_AND_DISK persist of the full
+    // text would itself be a corpus-sized spill.
     val sortedBase = corpus.select($"url", $"text").as[(String, String)]
       .orderBy($"url")
       .rdd
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val sorted = sortedBase
-      .zipWithIndex()
-      .map { case ((url, text), id) => (id, url, text) }
+    val partCounts: Array[Long] = sortedBase
+      .mapPartitionsWithIndex { (i, it) =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator((i, n))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets: Array[Long] = partCounts.scanLeft(0L)(_ + _)
+    val sorted = sortedBase.mapPartitionsWithIndex { (i, it) =>
+      var id = offsets(i) - 1
+      it.map { case (url, text) => id += 1; (id, url, text) }
+    }
 
-    try {
-      val numDocs = sortedBase.count()
+    {
+      val numDocs = offsets.last
       val dps = cfg.docsPerSegment
       val numSegments = math.max(1, ((numDocs + dps - 1) / dps).toInt)
+      committedRanges.foreach { case (_, e) =>
+        require(e % dps == 0 || e == numDocs,
+          s"cannot resume: committed segment end $e is not aligned to docsPerSegment=$dps")
+      }
 
       if (cfg.writeDocMap) {
         val docMapPath = new java.io.File(cfg.indexDir, "docmap").getPath
@@ -110,7 +134,10 @@ object IndexBuilder {
       }
 
       // (2) resume: skip committed doc-ranges before any tokenize work
-      val todo = sorted.filter { case (id, _, _) => !committedIds.contains(segIdOf(id, dps)) }
+      val ranges = committedRanges
+      val todo =
+        if (ranges.isEmpty) sorted
+        else sorted.filter { case (id, _, _) => !inRanges(ranges, id) }
 
       val posStore = cfg.storePositions
       val indexDir = cfg.indexDir
@@ -158,7 +185,7 @@ object IndexBuilder {
           }.collect().toSeq
       }
 
-      val allSegs = (committed ++ metas).sortBy(_.segId)
+      val allSegs = (committed ++ metas).sortBy(m => (m.docBase, m.segId))
       val meta = IndexMeta(cfg.analyzer,
         allSegs.map(_.docCount.toLong).sum,
         allSegs.map(_.sumDocLength).sum,
@@ -166,7 +193,21 @@ object IndexBuilder {
         allSegs)
       IndexMetaIO.writeCommit(cfg.indexDir, meta)
       BuildReport(numDocs, numSegments, metas.size, committed.size, meta)
-    } finally sortedBase.unpersist()
+    }
+  }
+
+  /** Binary search over sorted, non-overlapping [start, end) ranges. */
+  private[graft] def inRanges(ranges: Array[(Long, Long)], id: Long): Boolean = {
+    var lo = 0
+    var hi = ranges.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val (s, e) = ranges(mid)
+      if (id < s) hi = mid - 1
+      else if (id >= e) lo = mid + 1
+      else return true
+    }
+    false
   }
 
   /** Analyze one doc into posting rows + the doc-length sentinel row.

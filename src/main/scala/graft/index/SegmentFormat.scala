@@ -296,7 +296,15 @@ final class SegmentReader(val dir: File) {
 
   private def mmap(f: File): java.nio.ByteBuffer = {
     val ch = FileChannel.open(f.toPath, StandardOpenOption.READ)
-    try ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size()) finally ch.close()
+    try {
+      // Offsets into this buffer are narrowed via .toInt (postings seek,
+      // term-index seek): enforce the single-map 2 GiB limit loudly instead
+      // of truncating silently.
+      require(ch.size() <= Int.MaxValue,
+        s"$f is ${ch.size()} bytes; graft maps segment files in one " +
+          "MappedByteBuffer (2 GiB max) — rebuild with a smaller docsPerSegment")
+      ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
+    } finally ch.close()
   }
 
   /** Binary search the sampled index, then scan ≤ TermIndexInterval entries. */

@@ -74,4 +74,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(hitsAfter.toSeq == hitsBefore.toSeq)
     assert(Maintenance.checkIndex(spark, dir).forall(_.ok))
   }
+
+  test("build resume after compaction does not double-index merged ranges") {
+    val dir = Files.createTempDirectory("graft-resume-compact").toString
+    val corpus = SyntheticCorpus.generate(spark, 256, seed = 33, avgLen = 25, vocab = 80)
+    val first = IndexBuilder.build(spark, corpus,
+      IndexConfig(dir, docsPerSegment = 64, writeDocMap = false))
+    assert(first.builtSegments == 4)
+
+    // compact everything into one fresh-segId segment covering all 4 ranges
+    val compacted = Maintenance.compact(spark, dir, minDocs = 1000)
+    assert(compacted.segments.size == 1)
+    graft.search.ReaderCache.clear()
+    val q = BoolQ(should = Seq(TermQ("w1"), TermQ("w7")))
+    val hitsBefore = new IndexSearcher(spark, dir).search(q, 10, BM25())
+
+    // a re-run over the same corpus must resume: nothing rebuilt, no
+    // overlapping doc ranges, identical results
+    val resumed = IndexBuilder.build(spark, corpus,
+      IndexConfig(dir, docsPerSegment = 64, writeDocMap = false))
+    assert(resumed.builtSegments == 0, resumed)
+    assert(resumed.resumedSegments == 1, resumed)
+    assert(resumed.meta.numDocs == 256, resumed.meta)
+    val spans = resumed.meta.segments.map(s => (s.docBase, s.docBase + s.docCount)).sorted
+    spans.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._1, s"overlapping ranges: $a $b")
+      case _ =>
+    }
+    graft.search.ReaderCache.clear()
+    val hitsAfter = new IndexSearcher(spark, dir).search(q, 10, BM25())
+    assert(hitsAfter.toSeq == hitsBefore.toSeq)
+    assert(Maintenance.checkIndex(spark, dir).forall(_.ok))
+  }
 }
