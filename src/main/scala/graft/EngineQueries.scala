@@ -57,11 +57,9 @@ object EngineQueries {
     toDF(spark, s.search(q, k, sim))
   }
 
-  /** All docs matching (ordered by docId) — for phrase/boolean match sets. */
-  def matchingDocs(spark: SparkSession, sfDir: String, q: Query): DataFrame = {
-    import spark.implicits._
-    val s = searcher(spark, sfDir)
-    val hits = s.search(q, s.meta.numDocs.toInt, BM25Exact())
-    hits.map(_.docId).sorted.toSeq.toDF("doc_id")
-  }
+  /** All docs matching — for phrase/span/boolean match sets. Fully
+    * distributed: match enumeration happens per segment task and the result
+    * stays a DataFrame (IndexSearcher.matchingDocs — no driver collect). */
+  def matchingDocs(spark: SparkSession, sfDir: String, q: Query): DataFrame =
+    searcher(spark, sfDir).matchingDocs(q)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
-import graft.search.{BoolQ, PhraseQ, TermQ}
+import graft.search.{BoolQ, PhraseQ, SpanFirstQ, SpanNearQ, SpanNotQ, SpanTermQ, TermQ}
 
 /** Driver contract (see the builder prompt): `queries` are the operator
   * inventory exercised against the driver's parquet tables; `oracleSql` are
@@ -47,6 +47,14 @@ object SparkEntry {
 
   private val stopList = graft.analysis.Filters.EnglishStopWords.toSeq.sorted
     .map(w => s"'$w'").mkString(", ")
+
+  /** 1-based token positions over whitespace tokens — the SQL twin of the
+    * engine's position index (engine position = pos - 1; gaps/ends are
+    * differences, so 1- vs 0-based cancels). */
+  private val posCte =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+      |p AS (SELECT doc_id, i AS pos, toks[i] AS term
+      |      FROM t, unnest(generate_series(1, len(toks))) u(i))""".stripMargin
 
   // ---- queries ----------------------------------------------------------
 
@@ -139,6 +147,30 @@ object SparkEntry {
 
     "phrase_match" -> ((s, dir) =>
       EngineQueries.matchingDocs(s, dir, PhraseQ(Seq("key", "agg")))),
+
+    // span proximity (SpanNearQ, ordered, slop=2) as a distributed match set
+    "span_near" -> ((s, dir) =>
+      EngineQueries.matchingDocs(s, dir,
+        SpanNearQ(Seq(SpanTermQ("window"), SpanTermQ("merge")), slop = 2, inOrder = true))),
+
+    // unordered span near — both orders within the window
+    "span_near_unordered" -> ((s, dir) =>
+      EngineQueries.matchingDocs(s, dir,
+        SpanNearQ(Seq(SpanTermQ("window"), SpanTermQ("merge")), slop = 2, inOrder = false))),
+
+    // span-not: 'batch' (high df) with no adjacent 'key batch' bigram
+    "span_not" -> ((s, dir) =>
+      EngineQueries.matchingDocs(s, dir,
+        SpanNotQ(SpanTermQ("batch"),
+          SpanNearQ(Seq(SpanTermQ("key"), SpanTermQ("batch")), slop = 0, inOrder = true)))),
+
+    // span-first: docs starting with 'the' in the first 2 positions
+    "span_first" -> ((s, dir) =>
+      EngineQueries.matchingDocs(s, dir, SpanFirstQ(SpanTermQ("the"), 2))),
+
+    // high-df term match set: thousands of rows must stream back distributed
+    "match_highdf" -> ((s, dir) =>
+      EngineQueries.matchingDocs(s, dir, TermQ("batch"))),
 
     // the classic-syntax parser front-end produces the same plan as
     // bm25_topk — same oracle, different entry path
@@ -282,6 +314,36 @@ object SparkEntry {
     "phrase_match" ->
       """SELECT doc_id FROM documents
         |WHERE ' ' || text || ' ' LIKE '% key agg %' ORDER BY doc_id""".stripMargin,
+
+    "span_near" ->
+      s"""$posCte
+         |SELECT DISTINCT doc_id FROM p a JOIN p b USING (doc_id)
+         |WHERE a.term = 'window' AND b.term = 'merge'
+         |AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2""".stripMargin,
+
+    "span_near_unordered" ->
+      s"""$posCte
+         |SELECT DISTINCT doc_id FROM p a JOIN p b USING (doc_id)
+         |WHERE a.term = 'window' AND b.term = 'merge'
+         |AND abs(b.pos - a.pos) - 1 <= 2""".stripMargin,
+
+    "span_not" ->
+      s"""$posCte,
+         |bat AS (SELECT doc_id, pos FROM p WHERE term = 'batch'),
+         |ex AS (SELECT a.doc_id, a.pos AS s, b.pos + 1 AS e
+         |       FROM p a JOIN p b USING (doc_id)
+         |       WHERE a.term = 'key' AND b.term = 'batch' AND b.pos = a.pos + 1)
+         |SELECT DISTINCT doc_id FROM bat
+         |WHERE NOT EXISTS (SELECT 1 FROM ex
+         |                  WHERE ex.doc_id = bat.doc_id AND ex.s < bat.pos + 1 AND ex.e > bat.pos)""".stripMargin,
+
+    "span_first" ->
+      s"""$posCte
+         |SELECT DISTINCT doc_id FROM p WHERE term = 'the' AND pos <= 2""".stripMargin,
+
+    "match_highdf" ->
+      s"""$tokCte
+         |SELECT DISTINCT doc_id FROM tokf WHERE term = 'batch'""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

@@ -109,6 +109,21 @@ object BruteForce {
         Some((max + (sum - max) * tie) * (boost * queryNorm))
       }
 
+    case sq: SpanQuery =>
+      Spans.buildLocal(sq, t => doc.termPositions.get(t)) match {
+        case None => None
+        case Some(spans) =>
+          var freq = 0.0
+          while (spans.next()) freq += Spans.sloppyFreq(spans.start, spans.end)
+          if (freq == 0.0) None
+          else {
+            val idfSum = Spans.idfSum(sq, sim, st, t => dfm.getOrElse(t, 0L))
+            val norm = SmallFloat.encodeNorm(doc.dl)
+            Some(sim.phraseWeight(idfSum, sq.boost, queryNorm, st)
+              .score(freq.toFloat, norm, doc.dl))
+          }
+      }
+
     case mt: MultiTermQ =>
       throw new IllegalStateException(s"multi-term query not expanded: $mt")
 

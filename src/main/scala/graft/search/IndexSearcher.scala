@@ -117,6 +117,38 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
     queries.map { case (id, q) => id -> rewriteTree(q) }
   }
 
+  /** ALL matching docIds as a DataFrame — the match-set path. Matches are
+    * enumerated inside tasks (one per segment) and returned as a distributed
+    * result; nothing is materialized on the driver, so a stop-word phrase
+    * over 10^12 docs streams straight to the sink. Scoring is skipped:
+    * only the scorer tree's matching behavior runs. */
+  def matchingDocs(q0: Query): org.apache.spark.sql.DataFrame = {
+    val q = Query.rewrite(expandQueries(Seq("q" -> q0)).head._2)
+    val dfMap = globalDf(Query.allTerms(q))
+    val sc = spark.sparkContext
+    val bcDf = sc.broadcast(dfMap)
+    val bcQ = sc.broadcast(q)
+    val st = stats
+    val sim: Similarity = graft.score.BM25()
+    val rdd = sc.parallelize(segDirs, math.max(1, segDirs.size))
+      .flatMap { dir =>
+        val reader = ReaderCache.get(dir)
+        val df = (t: String) => bcDf.value.getOrElse(t, 0L)
+        val docBase = reader.meta.docBase
+        val qn = sim.queryNorm(SegmentSearch.sumOfSquaredWeights(bcQ.value, sim, st, df))
+        SegmentSearch.scorer(bcQ.value, reader, sim, st, df, qn) match {
+          case None => Iterator.empty
+          case Some(s) =>
+            Iterator.continually(s.nextDoc())
+              .takeWhile(_ != Scorer.NoMoreDocs)
+              .map(d => docBase + d)
+        }
+      }
+    val sp = spark
+    import sp.implicits._
+    rdd.toDF("doc_id")
+  }
+
   def searchBatch(queries0: Seq[(String, Query)], k: Int, sim: Similarity,
       useWand: Boolean = true): Map[String, Array[ScoredDoc]] = {
     val queries = expandQueries(queries0)

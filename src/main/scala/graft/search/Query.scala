@@ -66,6 +66,34 @@ final case class FuzzyQ(term: String, minSimilarity: Float = 0.5f,
   override def constantScore: Boolean = false
 }
 
+/** Span (position-aware) query family (reference
+  * /root/reference/src/core/search/spans/). Scored like a phrase: value =
+  * idf(term set)² · boost · queryNorm, freq = Σ sloppyFreq(end-start) over
+  * matched spans (SpanWeight.cpp:44-56, SpanScorer.cpp:56-67). Only the
+  * top-level boost participates in scoring, as in the reference. */
+sealed trait SpanQuery extends Query { def boost: Float }
+
+/** One span per position of `term` (reference SpanTermQuery.cpp). */
+final case class SpanTermQ(term: String, boost: Float = 1f) extends SpanQuery
+
+/** Clauses within `slop` total gap; `inOrder` requires clause order
+  * (reference SpanNearQuery.cpp, NearSpansOrdered/Unordered.cpp). */
+final case class SpanNearQ(clauses: Seq[SpanQuery], slop: Int,
+    inOrder: Boolean, boost: Float = 1f) extends SpanQuery
+
+/** Union of sub-spans (reference SpanOrQuery.cpp). */
+final case class SpanOrQ(clauses: Seq[SpanQuery], boost: Float = 1f) extends SpanQuery
+
+/** Include-spans not overlapping any exclude-span (reference
+  * SpanNotQuery.cpp). */
+final case class SpanNotQ(include: SpanQuery, exclude: SpanQuery,
+    boost: Float = 1f) extends SpanQuery
+
+/** Spans ending within the first `limit` positions (reference
+  * SpanFirstQuery.cpp). */
+final case class SpanFirstQ(inner: SpanQuery, limit: Int,
+    boost: Float = 1f) extends SpanQuery
+
 object Query {
 
   /** All terms needing global df (postings terms incl. prohibited).
@@ -78,13 +106,25 @@ object Query {
     case DisMaxQ(ds, _, _) => ds.flatMap(allTerms).toSet
     case FilteredQ(q2, f) => allTerms(q2) ++ allTerms(f)
     case MultiPhraseQ(slots, _) => slots.flatten.toSet
+    case sq: SpanQuery => spanAllTerms(sq)
     case _: MultiTermQ => Set.empty
     case MatchAllQ => Set.empty
+  }
+
+  /** Every term a span query touches (incl. excludes — they need postings,
+    * though not df-based weight; weight terms are Spans.weightTerms). */
+  private def spanAllTerms(sq: SpanQuery): Set[String] = sq match {
+    case SpanTermQ(t, _) => Set(t)
+    case SpanNearQ(cs, _, _, _) => cs.flatMap(spanAllTerms).toSet
+    case SpanOrQ(cs, _) => cs.flatMap(spanAllTerms).toSet
+    case SpanNotQ(inc, exc, _) => spanAllTerms(inc) ++ spanAllTerms(exc)
+    case SpanFirstQ(inner, _, _) => spanAllTerms(inner)
   }
 
   def needsPositions(q: Query): Boolean = q match {
     case _: PhraseQ => true
     case _: MultiPhraseQ => true
+    case _: SpanQuery => true
     case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(needsPositions)
     case ConstantScoreQ(inner, _) => needsPositions(inner)
     case DisMaxQ(ds, _, _) => ds.exists(needsPositions)

@@ -82,6 +82,8 @@ object SegmentSearch {
       sim.phraseWeightSq(slots.flatten.map(t => sim.idf(df(t), stats)).sum, boost)
     case FilteredQ(q2, _) => sumOfSquaredWeights(q2, sim, stats, df)
     case BoolQ(m, s, _, _) => (m ++ s).map(sumOfSquaredWeights(_, sim, stats, df)).sum
+    case sq: SpanQuery =>
+      sim.phraseWeightSq(Spans.idfSum(sq, sim, stats, df), sq.boost)
     case MatchAllQ => sim.constWeightSq(1f)
     case ConstantScoreQ(_, boost) => sim.constWeightSq(boost)
     case DisMaxQ(ds, _, boost) =>
@@ -147,6 +149,12 @@ object SegmentSearch {
       val subs = ds.flatMap(scorer(_, reader, sim, stats, df, queryNorm))
       if (subs.isEmpty) None
       else Some(new DisjunctionMaxScorer(subs.toArray, tie, boost * queryNorm))
+
+    case sq: SpanQuery =>
+      Spans.build(sq, reader).map { spans =>
+        val w = sim.phraseWeight(Spans.idfSum(sq, sim, stats, df), sq.boost, queryNorm, stats)
+        new SpanScorer(spans, w, reader.norms, reader.doclens)
+      }
 
     case mt: MultiTermQ =>
       throw new IllegalStateException(s"multi-term query not expanded: $mt")
