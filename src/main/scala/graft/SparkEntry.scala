@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
-import graft.search.{BoolQ, PhraseQ, SpanFirstQ, SpanNearQ, SpanNotQ, SpanTermQ, TermQ}
+import graft.search.{BoolQ, DisMaxQ, FuzzyQ, PhraseQ, PrefixQ, SpanFirstQ, SpanNearQ,
+  SpanNotQ, SpanTermQ, TermQ, TermRangeQ, WildcardQ}
 
 /** Driver contract (see the builder prompt): `queries` are the operator
   * inventory exercised against the driver's parquet tables; `oracleSql` are
@@ -44,6 +45,21 @@ object SparkEntry {
        |                   * (tf.f * (1.2 + 1)) / (tf.f + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
        |       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
        |       WHERE tf.term IN ($termList) GROUP BY 1$extraTf)""".stripMargin
+
+  /** Per-(doc, term) BM25 scores — feeds combinators like DisMax. */
+  private def bm25PerTermCte(termList: String): String =
+    s"""$tokCte,
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS f FROM tokf GROUP BY 1, 2),
+       |dl AS (SELECT d.doc_id, coalesce(t.c, 0)::DOUBLE AS dl FROM documents d
+       |       LEFT JOIN (SELECT doc_id, count(*) AS c FROM tokf GROUP BY 1) t USING (doc_id)),
+       |st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |              (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+       |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM (SELECT DISTINCT doc_id, term FROM tokf) GROUP BY 1),
+       |ts AS (SELECT tf.doc_id, tf.term,
+       |              ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+       |              * (tf.f * (1.2 + 1)) / (tf.f + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS sc
+       |       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |       WHERE tf.term IN ($termList))""".stripMargin
 
   private val stopList = graft.analysis.Filters.EnglishStopWords.toSeq.sorted
     .map(w => s"'$w'").mkString(", ")
@@ -171,6 +187,30 @@ object SparkEntry {
     // high-df term match set: thousands of rows must stream back distributed
     "match_highdf" -> ((s, dir) =>
       EngineQueries.matchingDocs(s, dir, TermQ("batch"))),
+
+    // multi-term family as distributed match sets (dictionary expansion +
+    // constant-score path), each with a SQL twin over the token CTE
+    "prefix_match" -> ((s, dir) =>
+      EngineQueries.matchingDocs(s, dir, PrefixQ("wind"))),
+
+    "wildcard_match" -> ((s, dir) =>
+      EngineQueries.matchingDocs(s, dir, WildcardQ("s?an"))),
+
+    "range_match" -> ((s, dir) =>
+      EngineQueries.matchingDocs(s, dir,
+        TermRangeQ(Some("spark"), Some("table"), includeLower = true, includeUpper = false))),
+
+    "fuzzy_match" -> ((s, dir) =>
+      EngineQueries.matchingDocs(s, dir, FuzzyQ("windoe"))),
+
+    // sloppy phrase (slop=2) as a match set
+    "sloppy_match" -> ((s, dir) =>
+      EngineQueries.matchingDocs(s, dir, PhraseQ(Seq("window", "merge"), slop = 2))),
+
+    // DisMax scoring: max + 0.5·(sum−max) of the BM25Exact term scores
+    "dismax_topk" -> ((s, dir) =>
+      EngineQueries.topK(s, dir,
+        DisMaxQ(Seq(TermQ("window"), TermQ("merge")), tieBreaker = 0.5f), 10)),
 
     // the classic-syntax parser front-end produces the same plan as
     // bm25_topk — same oracle, different entry path
@@ -344,6 +384,35 @@ object SparkEntry {
     "match_highdf" ->
       s"""$tokCte
          |SELECT DISTINCT doc_id FROM tokf WHERE term = 'batch'""".stripMargin,
+
+    "prefix_match" ->
+      s"""$tokCte
+         |SELECT DISTINCT doc_id FROM tokf WHERE term LIKE 'wind%'""".stripMargin,
+
+    "wildcard_match" ->
+      s"""$tokCte
+         |SELECT DISTINCT doc_id FROM tokf WHERE term LIKE 's_an'""".stripMargin,
+
+    "range_match" ->
+      s"""$tokCte
+         |SELECT DISTINCT doc_id FROM tokf WHERE term >= 'spark' AND term < 'table'""".stripMargin,
+
+    "fuzzy_match" ->
+      s"""$tokCte
+         |SELECT DISTINCT doc_id FROM tokf
+         |WHERE 1.0 - levenshtein(term, 'windoe')::DOUBLE / least(length(term), 6) > 0.5""".stripMargin,
+
+    "sloppy_match" ->
+      s"""$posCte
+         |SELECT DISTINCT doc_id FROM p a JOIN p b USING (doc_id)
+         |WHERE a.term = 'window' AND b.term = 'merge'
+         |AND abs((b.pos - 1) - a.pos) <= 2""".stripMargin,
+
+    "dismax_topk" ->
+      s"""${bm25PerTermCte("'window', 'merge'")},
+         |ag AS (SELECT doc_id, max(sc) AS mx, sum(sc) AS sm FROM ts GROUP BY 1)
+         |SELECT doc_id, round(mx + 0.5 * (sm - mx), 4) AS score FROM ag
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

@@ -109,6 +109,10 @@ object BruteForce {
         Some((max + (sum - max) * tie) * (boost * queryNorm))
       }
 
+    case TermSetQ(terms, boost) =>
+      if (terms.exists(t => doc.freq(t) > 0)) Some((boost * queryNorm).toDouble)
+      else None
+
     case sq: SpanQuery =>
       Spans.buildLocal(sq, t => doc.termPositions.get(t)) match {
         case None => None

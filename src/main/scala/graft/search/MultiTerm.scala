@@ -11,7 +11,20 @@ package graft.search
   * global df produces results identical to a global expansion: a term
   * matched only in other segments cannot score docs in this one. Expansion
   * order is sorted by term, fixing float summation order everywhere. */
+/** Scoring multi-term expansion exceeded [[MultiTerm.MaxClauseCount]]
+  * (reference TooManyClausesException, BooleanQuery.cpp:60-68). */
+final class TooManyClauses(msg: String) extends RuntimeException(msg)
+
 object MultiTerm {
+
+  /** Scoring-rewrite clause budget (reference BooleanQuery.cpp:18
+    * maxClauseCount = 1024). */
+  val MaxClauseCount = 1024
+
+  /** Constant-score expansions above this term count rewrite to a bitset
+    * filter instead of a boolean OR (reference ConstantScoreAutoRewrite
+    * DEFAULT_TERM_COUNT_CUTOFF — MultiTermQuery.cpp:182). */
+  val TermCountCutoff = 350
 
   /** Lower seek bound for a node's dictionary scan (inclusive), if any. */
   def seekLowerBound(q: MultiTermQ): Option[String] = q match {
@@ -123,8 +136,28 @@ object MultiTerm {
         else matchBoost(mt, t).foreach(b => matched += TermQ(t, b))
       }
       if (matched.isEmpty) BoolQ(should = Nil, minShouldMatch = 1) // matches nothing
-      else if (mt.constantScore) ConstantScoreQ(BoolQ(should = matched.toSeq), mt.boost)
-      else BoolQ(should = matched.toSeq)
+      else if (mt.constantScore) {
+        // CONSTANT_SCORE_AUTO (MultiTermQuery.cpp:182): small expansions
+        // stay a lazy OR; big ones become a per-segment bitset filter so a
+        // hot prefix never builds 10^4 TermScorers
+        if (matched.size <= TermCountCutoff)
+          ConstantScoreQ(BoolQ(should = matched.toSeq), mt.boost)
+        else
+          ConstantScoreQ(TermSetQ(matched.map(_.term).toSeq), mt.boost)
+      } else mt match {
+        case _: FuzzyQ if matched.size > MaxClauseCount =>
+          // FuzzyQuery.cpp:85-121: keep the best maxClauseCount expansions
+          // by similarity boost; ties keep the smaller term. Re-sort by term
+          // so float summation order stays the dictionary order.
+          val kept = matched.toSeq.sortBy(tq => (-tq.boost, tq.term))
+            .take(MaxClauseCount).sortBy(_.term)
+          BoolQ(should = kept)
+        case _ if matched.size > MaxClauseCount =>
+          throw new TooManyClauses(
+            s"multi-term expansion of $mt matched ${matched.size} terms " +
+              s"(maxClauseCount = $MaxClauseCount); use a constant-score rewrite")
+        case _ => BoolQ(should = matched.toSeq)
+      }
     case BoolQ(m, s, n, msm) =>
       BoolQ(m.map(expand(_, termsFrom)), s.map(expand(_, termsFrom)),
         n.map(expand(_, termsFrom)), msm)

@@ -66,6 +66,13 @@ final case class FuzzyQ(term: String, minSimilarity: Float = 0.5f,
   override def constantScore: Boolean = false
 }
 
+/** Constant-score union of an explicit term set — the bitmap-filter rewrite
+  * of large multi-term expansions (reference
+  * MultiTermQueryWrapperFilter.cpp + MultiTermQuery CONSTANT_SCORE_FILTER,
+  * MultiTermQuery.cpp:31-62): per segment, the matched terms' postings are
+  * OR-ed into a bitset instead of building one TermScorer per term. */
+final case class TermSetQ(terms: Seq[String], boost: Float = 1f) extends Query
+
 /** Span (position-aware) query family (reference
   * /root/reference/src/core/search/spans/). Scored like a phrase: value =
   * idf(term set)² · boost · queryNorm, freq = Σ sloppyFreq(end-start) over
@@ -107,6 +114,9 @@ object Query {
     case FilteredQ(q2, f) => allTerms(q2) ++ allTerms(f)
     case MultiPhraseQ(slots, _) => slots.flatten.toSet
     case sq: SpanQuery => spanAllTerms(sq)
+    // constant-score term sets never touch df — keeping their (possibly
+    // 10^4+) terms out of the global-df broadcast is the point
+    case _: TermSetQ => Set.empty
     case _: MultiTermQ => Set.empty
     case MatchAllQ => Set.empty
   }

@@ -93,12 +93,34 @@ final class ConjunctionScorer(subs: Array[Scorer]) extends Scorer {
   }
 }
 
+/** Union scorer contract: per-doc match count (coord) and max sub-score
+  * (DisMax). Two implementations — min-scan for small clause counts,
+  * doc-ordered heap above [[Disjunction.HeapThreshold]] clauses; both sum
+  * matching clauses in ORIGINAL clause order so float results are
+  * deterministic and identical between them. */
+sealed trait DisjunctionScorer extends Scorer {
+  def nrMatchers: Int
+  def maxSubScore: Double
+}
+
+object Disjunction {
+  /** Above this clause count the O(clauses) min-scan loses to the O(log)
+    * heap (reference uses ScorerDocQueue unconditionally —
+    * /root/reference/src/core/util/ScorerDocQueue.cpp; small-m scan beats
+    * it on constants). */
+  val HeapThreshold = 32
+
+  def apply(subs: Array[Scorer], minShouldMatch: Int): DisjunctionScorer =
+    if (subs.length <= HeapThreshold) new DisjunctionSumScorer(subs, minShouldMatch)
+    else new DisjunctionHeapScorer(subs, minShouldMatch)
+}
+
 /** N-ary union with per-doc match count — OR with minShouldMatch
   * (reference DisjunctionSumScorer.cpp). Uses a simple min-scan over ≤
   * dozens of clauses instead of the reference's ScorerDocQueue heap: clause
   * counts are small and clause-order summation keeps float results
   * deterministic. */
-final class DisjunctionSumScorer(subs: Array[Scorer], minShouldMatch: Int) extends Scorer {
+final class DisjunctionSumScorer(subs: Array[Scorer], minShouldMatch: Int) extends DisjunctionScorer {
   private var _doc = -1
   private var _nrMatchers = 0
   private var _score = 0.0
@@ -141,38 +163,196 @@ final class DisjunctionSumScorer(subs: Array[Scorer], minShouldMatch: Int) exten
     nextDoc()
   }
 
-  /** Count/sum matchers at _doc in clause order; advance non-matchers later
-    * lazily (they advance themselves on the next min-scan). */
+  /** Count matchers at _doc first; score (clause order) only once
+    * minShouldMatch is known to hold — a failed msm never pays for
+    * scoring. */
   private def evaluate(): Boolean = {
     var n = 0
-    var s = 0.0
-    var mx = Double.MinValue
     var i = 0
     while (i < subs.length) {
-      if (subs(i).docID == _doc) {
-        n += 1
-        val v = subs(i).score()
-        s += v
-        if (v > mx) mx = v
-      }
+      if (subs(i).docID == _doc) n += 1
       i += 1
     }
-    _maxSubScore = mx
+    val ok = n >= math.max(1, minShouldMatch)
+    if (ok) {
+      var s = 0.0
+      var mx = Double.MinValue
+      i = 0
+      while (i < subs.length) {
+        if (subs(i).docID == _doc) {
+          val v = subs(i).score()
+          s += v
+          if (v > mx) mx = v
+        }
+        i += 1
+      }
+      _nrMatchers = n
+      _score = s
+      _maxSubScore = mx
+    }
     // advance matchers past _doc for the next round
     i = 0
     while (i < subs.length) {
       if (subs(i).docID == _doc) subs(i).nextDoc()
       i += 1
     }
-    if (n >= math.max(1, minShouldMatch)) { _nrMatchers = n; _score = s; true }
-    else false
+    ok
   }
 
-  def nrMatchers: Int = _nrMatchers
+  override def nrMatchers: Int = _nrMatchers
   private var _maxSubScore = 0.0
   /** Max matching sub score at the current doc (for DisjunctionMax). */
-  def maxSubScore: Double = _maxSubScore
+  override def maxSubScore: Double = _maxSubScore
   override def score(): Double = _score
+}
+
+/** Heap-backed union for LARGE clause counts (hot wildcard/prefix
+  * expansions): nextDoc is O(matchers · log clauses) instead of the
+  * min-scan's O(clauses) — the reference's ScorerDocQueue design
+  * (/root/reference/src/core/util/ScorerDocQueue.cpp,
+  * DisjunctionSumScorer.cpp:58-120). Matching clause indices are sorted
+  * before summation so float results are bit-identical to the min-scan
+  * scorer. */
+final class DisjunctionHeapScorer(subs: Array[Scorer], minShouldMatch: Int)
+  extends DisjunctionScorer {
+
+  // binary min-heap of clause indices keyed by subs(idx).docID; exhausted
+  // scorers stay in the heap (NoMoreDocs sorts last)
+  private val heap = Array.tabulate(subs.length)(identity)
+  private val matched = new Array[Int](subs.length)
+  private var heapSize = subs.length
+  private var started = false
+  private var _doc = -1
+  private var _nrMatchers = 0
+  private var _score = 0.0
+  private var _maxSubScore = 0.0
+
+  @inline private def less(a: Int, b: Int): Boolean = subs(a).docID < subs(b).docID
+
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var m = i
+      if (l < heapSize && less(heap(l), heap(m))) m = l
+      if (r < heapSize && less(heap(r), heap(m))) m = r
+      if (m == i) done = true
+      else { val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m }
+    }
+  }
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    while (i > 0 && less(heap(i), heap((i - 1) / 2))) {
+      val p = (i - 1) / 2
+      val t = heap(i); heap(i) = heap(p); heap(p) = t
+      i = p
+    }
+  }
+
+  private def heapify(): Unit = {
+    var i = heapSize / 2 - 1
+    while (i >= 0) { siftDown(i); i -= 1 }
+  }
+
+  private def startIfNeeded(): Unit = {
+    if (!started) {
+      var i = 0
+      while (i < subs.length) { subs(i).nextDoc(); i += 1 }
+      heapify()
+      started = true
+    }
+  }
+
+  override def docID: Int = _doc
+
+  override def nextDoc(): Int = {
+    if (_doc == Scorer.NoMoreDocs) return _doc
+    startIfNeeded()
+    while (true) {
+      val d = subs(heap(0)).docID
+      if (d == Scorer.NoMoreDocs) { _doc = Scorer.NoMoreDocs; return _doc }
+      // pop all clauses sitting on d (score BEFORE advancing them)
+      var n = 0
+      while (heapSize > 0 && subs(heap(0)).docID == d) {
+        val idx = heap(0)
+        matched(n) = idx
+        n += 1
+        heapSize -= 1
+        heap(0) = heap(heapSize)
+        heap(heapSize) = idx // park the popped index past the heap end
+        siftDown(0)
+      }
+      val ok = n >= math.max(1, minShouldMatch)
+      if (ok) {
+        // clause-order summation for float determinism vs the min-scan twin
+        java.util.Arrays.sort(matched, 0, n)
+        var s = 0.0
+        var mx = Double.MinValue
+        var i = 0
+        while (i < n) {
+          val v = subs(matched(i)).score()
+          s += v
+          if (v > mx) mx = v
+          i += 1
+        }
+        _nrMatchers = n
+        _score = s
+        _maxSubScore = mx
+      }
+      // advance the popped clauses and push them back
+      var i = 0
+      while (i < n) {
+        subs(heap(heapSize)).nextDoc()
+        heapSize += 1
+        siftUp(heapSize - 1)
+        i += 1
+      }
+      if (ok) { _doc = d; return _doc }
+    }
+    _doc
+  }
+
+  override def advance(target: Int): Int = {
+    if (_doc == Scorer.NoMoreDocs) return _doc
+    startIfNeeded()
+    var i = 0
+    while (i < subs.length) {
+      if (subs(i).docID < target) subs(i).advance(target)
+      i += 1
+    }
+    heapify()
+    _doc = target - 1
+    nextDoc()
+  }
+
+  override def nrMatchers: Int = _nrMatchers
+  override def maxSubScore: Double = _maxSubScore
+  override def score(): Double = _score
+}
+
+/** Constant-score iteration over a pre-built per-segment bitset — the
+  * bitmap-filter rewrite of large multi-term expansions (reference
+  * MultiTermQueryWrapperFilter.cpp getDocIdSet + ConstantScoreQuery). */
+final class BitSetScorer(bits: java.util.BitSet, value: Double) extends Scorer {
+  private var _doc = -1
+  override def docID: Int = _doc
+  override def nextDoc(): Int = {
+    if (_doc == Scorer.NoMoreDocs) return _doc
+    val n = bits.nextSetBit(_doc + 1)
+    _doc = if (n < 0) Scorer.NoMoreDocs else n
+    _doc
+  }
+  override def advance(target: Int): Int = {
+    if (_doc == Scorer.NoMoreDocs) return _doc
+    if (_doc >= target) return _doc
+    val n = bits.nextSetBit(target)
+    _doc = if (n < 0) Scorer.NoMoreDocs else n
+    _doc
+  }
+  override def score(): Double = value
 }
 
 /** Anti join: required minus prohibited (reference ReqExclScorer.cpp:21-60). */
@@ -196,7 +376,7 @@ final class ReqExclScorer(req: Scorer, excl: Scorer) extends Scorer {
 
 /** Left outer: required drives, optional adds when aligned
   * (reference ReqOptSumScorer.cpp). Exposes optional match count for coord. */
-final class ReqOptSumScorer(req: Scorer, opt: DisjunctionSumScorer) extends Scorer {
+final class ReqOptSumScorer(req: Scorer, opt: DisjunctionScorer) extends Scorer {
   private var optDone = false
   private var _optMatchers = 0
   override def docID: Int = req.docID

@@ -86,6 +86,7 @@ object SegmentSearch {
       sim.phraseWeightSq(Spans.idfSum(sq, sim, stats, df), sq.boost)
     case MatchAllQ => sim.constWeightSq(1f)
     case ConstantScoreQ(_, boost) => sim.constWeightSq(boost)
+    case TermSetQ(_, boost) => sim.constWeightSq(boost)
     case DisMaxQ(ds, _, boost) =>
       boost * boost * ds.map(sumOfSquaredWeights(_, sim, stats, df)).sum
     case mt: MultiTermQ =>
@@ -156,6 +157,20 @@ object SegmentSearch {
         new SpanScorer(spans, w, reader.norms, reader.doclens)
       }
 
+    case TermSetQ(terms, boost) =>
+      // bitmap-filter path: one pass over each matched term's doc postings
+      // (reference MultiTermQueryWrapperFilter.cpp getDocIdSet)
+      val bits = new java.util.BitSet(reader.meta.docCount)
+      terms.foreach { t =>
+        reader.termInfo(t).foreach { ti =>
+          val pi = reader.postings(ti, needPositions = false)
+          var d = pi.nextDoc()
+          while (d != Scorer.NoMoreDocs) { bits.set(d); d = pi.nextDoc() }
+        }
+      }
+      if (bits.isEmpty) None
+      else Some(new BitSetScorer(bits, (boost * queryNorm).toDouble))
+
     case mt: MultiTermQ =>
       throw new IllegalStateException(s"multi-term query not expanded: $mt")
 
@@ -176,15 +191,15 @@ object SegmentSearch {
           val c = if (ms.size == 1) ms.head else new ConjunctionScorer(ms.toArray)
           Some((c, () => ms.size))
         case (Nil, ss) =>
-          val d = new DisjunctionSumScorer(ss.toArray, msm)
+          val d = Disjunction(ss.toArray, msm)
           Some((d, () => d.nrMatchers))
         case (ms, ss) if msm > 0 =>
-          val d = new DisjunctionSumScorer(ss.toArray, msm)
+          val d = Disjunction(ss.toArray, msm)
           val c = new ConjunctionScorer((ms :+ (d: Scorer)).toArray)
           Some((c, () => ms.size + d.nrMatchers))
         case (ms, ss) =>
           val req = if (ms.size == 1) ms.head else new ConjunctionScorer(ms.toArray)
-          val d = new DisjunctionSumScorer(ss.toArray, 1)
+          val d = Disjunction(ss.toArray, 1)
           val ro = new ReqOptSumScorer(req, d)
           Some((ro, () => ms.size + ro.optMatchers))
       }
@@ -194,7 +209,7 @@ object SegmentSearch {
           if (notScorers.isEmpty) pos
           else new ReqExclScorer(pos,
             if (notScorers.size == 1) notScorers.head
-            else new DisjunctionSumScorer(notScorers.toArray, 1))
+            else Disjunction(notScorers.toArray, 1))
         new Scorer {
           override def docID: Int = base.docID
           override def nextDoc(): Int = base.nextDoc()

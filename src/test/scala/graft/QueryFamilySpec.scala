@@ -151,4 +151,72 @@ class QueryFamilySpec extends AnyFunSuite {
     val many = LocalIndex.search(indexOf(texts, "standard", 13), q, 10, BM25())
     assert(one.toSeq == many.toSeq)
   }
+
+  // --- scale guards: bitmap rewrite, clause cap, heap disjunction ---------
+
+  /** 2500 distinct terms sharing prefix 'pt': forces the constant-score
+    * bitmap rewrite (> TermCountCutoff = 350) and, in scoring mode, the
+    * TooManyClauses guard (> MaxClauseCount = 1024). */
+  private lazy val wideTexts: Seq[String] = {
+    val rnd = new scala.util.Random(7)
+    (0 until 500).map { i =>
+      val own = (0 until 5).map(j => f"pt${(i * 5 + j) % 2500}%04d")
+      val noise = (0 until 3).map(_ => s"n${rnd.nextInt(40)}")
+      rnd.shuffle(own ++ noise).mkString(" ")
+    }
+  }
+
+  test("wide prefix (2500 terms) rewrites to bitset filter and matches spec") {
+    val dir = indexOf(wideTexts, "whitespace", dps = 119)
+    val corpus = bfCorpus(wideTexts, "whitespace")
+    // every doc matches at constant score → tie-break = docId asc
+    for (sim <- Seq[Similarity](BM25(), ClassicTFIDF)) {
+      val q = PrefixQ("pt") // constantScore = true → TermSetQ path
+      val engine = LocalIndex.search(dir, q, 20, sim)
+      val spec = BruteForce.search(corpus, q, 20, sim)
+      assert(engine.map(_.docId).toSeq == spec.map(_.docId).toSeq, s"sim=$sim")
+      engine.zip(spec).foreach { case (e, s) => assert(e.score == s.score, s"sim=$sim $e $s") }
+    }
+    // expansion really is the bitmap path, not a 2500-clause OR
+    val dict = corpus.flatMap(_.termPositions.keys).distinct.sorted
+    val expanded = MultiTerm.expand(PrefixQ("pt"),
+      lower => lower.fold(dict.iterator)(lo => dict.iterator.dropWhile(_ < lo)))
+    expanded match {
+      case ConstantScoreQ(TermSetQ(terms, _), _) => assert(terms.size == 2500)
+      case other => fail(s"expected bitmap rewrite, got ${other.getClass}")
+    }
+    // bitmap interacts with boolean algebra (filter + must-not)
+    checkAll(wideTexts, "whitespace", Seq(
+      BoolQ(must = Seq(PrefixQ("pt"), TermQ("n3"))),
+      BoolQ(must = Seq(TermQ("n5")), mustNot = Seq(PrefixQ("pt0"))),
+      FilteredQ(TermQ("n7"), PrefixQ("pt"))), dps = 119)
+  }
+
+  test("scoring rewrite above 1024 clauses throws TooManyClauses") {
+    val dir = indexOf(wideTexts, "whitespace")
+    intercept[TooManyClauses] {
+      LocalIndex.search(dir, PrefixQ("pt", constantScore = false), 10, BM25())
+    }
+  }
+
+  test("heap disjunction (>32 clauses) is bit-identical to min-scan") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 60).map(i => s"v$i")
+    val texts = (0 until 400).map { _ =>
+      (0 until (4 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val dir = indexOf(texts, "whitespace", dps = 97)
+    val corpus = bfCorpus(texts, "whitespace")
+    for (sim <- Seq[Similarity](BM25(), ClassicTFIDF, BM25Exact()); msm <- Seq(0, 2, 5)) {
+      // 50 clauses > HeapThreshold → DisjunctionHeapScorer; spec sums in
+      // clause order → scores must match bitwise
+      val q = BoolQ(should = (0 until 50).map(i => TermQ(s"v$i")), minShouldMatch = msm)
+      val engine = LocalIndex.search(dir, q, 15, sim, useWand = false)
+      val spec = BruteForce.search(corpus, q, 15, sim)
+      assert(engine.map(_.docId).toSeq == spec.map(_.docId).toSeq, s"sim=$sim msm=$msm")
+      engine.zip(spec).foreach { case (e, s) =>
+        assert(e.score == s.score, s"sim=$sim msm=$msm doc ${e.docId}: ${e.score} != ${s.score}")
+      }
+    }
+  }
 }
