@@ -227,8 +227,11 @@ object SparkEntry {
     // -- dedup family
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(tbl(s, dir, "documents"))),
 
+    // exact Jaccard, scale-safe: banded candidates + exact verify (the
+    // inverted-shingle self-join remains test-oracle-only — quadratic in
+    // per-shingle df)
     "dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(tbl(s, dir, "documents"), w = 3, minJaccard = 0.8)),
+      Dedup.exactJaccardPairs(tbl(s, dir, "documents"), w = 3, minJaccard = 0.8)),
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashPairs(tbl(s, dir, "documents"), w = 3, minJaccard = 0.8,

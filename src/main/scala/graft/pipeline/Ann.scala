@@ -67,15 +67,30 @@ object Ann {
     * (1 - p^bits)^tables for bit-agreement probability p.
     * Recall < 1 by construction (report alongside brute force). */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
-      dim: Int = 64, bits: Int = 8, tables: Int = 8): DataFrame = {
-    val sigE = bucketed(embeddings, "vec_id", dim, bits, tables)
+      dim: Int = 64, bits: Int = 8, tables: Int = 8,
+      maxBucket: Long = 100000L): DataFrame = {
+    val sigE0 = bucketed(embeddings, "vec_id", dim, bits, tables)
+    // hot-bucket cap: a degenerate bucket holding a large fraction of the
+    // corpus has no discriminating power and would dominate the join — drop
+    // it (standard LSH hygiene; recall comes from the other tables)
+    val wb = Window.partitionBy("table", "bucket")
+    val sigE = sigE0.select(col("vec_id"), col("table"), col("bucket"))
+      .withColumn("bn", count(lit(1)).over(wb))
+      .filter(col("bn") <= maxBucket)
     val sigQ = bucketed(queries.select(col("vec_id").as("query_id"), col("embedding")),
       "query_id", dim, bits, tables)
-      .select(col("query_id"), col("embedding").as("qv"), col("table"), col("bucket"))
-    val cands = sigE.join(broadcast(sigQ), Seq("table", "bucket"))
+      .select(col("query_id"), col("table"), col("bucket"))
+    // dedup candidate IDS first — (table, bucket) duplicates must collapse
+    // BEFORE embeddings are re-attached, so the distinct() never shuffles
+    // embedding payloads
+    val candIds = sigE.join(broadcast(sigQ), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("embedding"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    val cands = candIds
+      .join(embeddings.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        "query_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("embedding")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)

@@ -21,10 +21,11 @@ object Dedup {
     docs.select(col("doc_id"), sh.as("shingles"))
   }
 
-  /** All pairs (a < b) with shingle-set Jaccard >= minJaccard, via an
-    * inverted shingle join (exact; the O(n²) oracle path — candidates are
-    * bounded by shared-shingle pairs, fine at test scale; MinHash below is
-    * the 100 TB path). */
+  /** All pairs (a < b) with shingle-set Jaccard >= minJaccard via an
+    * inverted shingle self-join. EXACT but quadratic in per-shingle df (one
+    * boilerplate shingle shared by 10^6 docs → 10^12 candidate rows): this
+    * is the TEST-ORACLE path only. The scale-safe exact path is
+    * [[exactJaccardPairs]] (banded candidates + exact verify). */
   def jaccardPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.8): DataFrame = {
     val sh = shingles(docs, w).cache()
     val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -41,6 +42,15 @@ object Dedup {
     j.filter(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
   }
+
+  /** Exact Jaccard pairs at 100 TB scale: banded MinHash candidate
+    * generation with a threshold far below minJaccard, then exact
+    * verification over shingle sets. With 32 bands × 2 rows the candidate
+    * recall at j >= 0.8 is 1 − (1 − 0.8²)³² ≈ 1 − 4·10⁻¹⁵ — numerically
+    * exact — while candidate volume stays bounded by the bucket joins
+    * instead of per-shingle df². */
+  def exactJaccardPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.8): DataFrame =
+    minHashPairs(docs, w, minJaccard, bands = 32, rowsPerBand = 2)
 
   /** MinHash signature: perms[p] = min over shingles of xxhash64(sh, p).
     * One projection, no shuffle. */
@@ -77,17 +87,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the vote sum
-    * of xxhash64(token) bits. Single projection, no shuffle. */
+    * of xxhash64(token) bits. Single projection, no shuffle, and a SINGLE
+    * pass over the token array: one hash per token, votes accumulated into
+    * a 64-wide counter array (the old per-bit unroll re-scanned the array
+    * 64× and re-hashed every token per bit). */
   def simHash(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    // one vote expression per bit (Scala-side unroll: shift amounts must be
-    // literals), summed into the 64-bit fingerprint
-    val sim = (0 until 64).map { b =>
-      val vote = aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L)))
-      when(vote > 0L, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val hashes = transform(TextOps.tokens(col("text")), t => xxhash64(t))
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64), (acc, h) =>
+      zip_with(acc, sequence(lit(0), lit(63)), (a, b) =>
+        a + when(call_function("getbit", h, b) === 1, lit(1L)).otherwise(lit(-1L))))
+    val sim = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, b) =>
+        when(v > 0L, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
     docs.select(col("doc_id"), sim.as("simhash"))
   }
 

@@ -53,19 +53,15 @@ object BruteForce {
       }
 
     case PhraseQ(ts, slop, boost) =>
-      val arrays = ts.zipWithIndex.map { case (t, i) =>
-        doc.termPositions.get(t).map(_.map(_ - i))
-      }
-      if (arrays.exists(_.isEmpty)) None
+      val actual = ts.map(t => doc.termPositions.get(t))
+      if (actual.exists(_.isEmpty)) None
       else {
-        val sets = arrays.flatten
         val pf: Double =
-          if (slop <= 0) sets.head.count(p => sets.tail.forall(_.contains(p))).toDouble
-          else {
-            require(ts.distinct.size == ts.size,
-              "sloppy phrase with repeated terms is not supported in v1")
-            SloppyPhrase.freq(sets.toArray, slop)
-          }
+          if (slop <= 0) {
+            val sets = actual.zipWithIndex.map { case (a, i) => a.get.map(_ - i) }
+            sets.head.count(p => sets.tail.forall(_.contains(p))).toDouble
+          } else
+            SloppyPhrase.freq(actual.map(_.get).toArray, ts.indices.toArray, slop)
         if (pf == 0.0) None
         else {
           val idfSum = ts.map(t => sim.idf(dfm.getOrElse(t, 0L), st)).sum

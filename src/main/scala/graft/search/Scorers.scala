@@ -531,14 +531,10 @@ final class SloppyPhraseScorer(
       val arrs = new Array[Array[Int]](pis.length)
       var i = 0
       while (i < pis.length) {
-        val ps = pis(i).positions()
-        val off = offsets(i)
-        var j = 0
-        while (j < ps.length) { ps(j) -= off; j += 1 }
-        arrs(i) = ps
+        arrs(i) = pis(i).positions()
         i += 1
       }
-      _freq = SloppyPhrase.freq(arrs, slop)
+      _freq = SloppyPhrase.freq(arrs, offsets, slop)
       if (_freq > 0.0) return d
       d = inner.nextDoc()
     }

@@ -114,12 +114,9 @@ object SegmentSearch {
         val pis = tis.flatten.map(ti => reader.postings(ti, needPositions = true)).toArray
         if (slop <= 0)
           Some(new ExactPhraseScorer(pis, ts.indices.toArray, w, reader.norms, reader.doclens))
-        else {
-          require(ts.distinct.size == ts.size,
-            "sloppy phrase with repeated terms is not supported in v1")
+        else
           Some(new SloppyPhraseScorer(pis, ts.indices.toArray, slop, w,
             reader.norms, reader.doclens))
-        }
       }
 
     case MatchAllQ =>

@@ -199,6 +199,64 @@ class QueryFamilySpec extends AnyFunSuite {
     }
   }
 
+  test("sloppy phrase with repeated terms: reference PhraseQueryTest goldens") {
+    // testWrappedPhrase — the reference's two-instance 'repeated' field with
+    // positionIncrementGap=100 (PhraseQueryTest.cpp:39-42,345-361),
+    // re-expressed as the actual token positions it produces:
+    // "this is a repeated field - first part" (0-7) ++gap++
+    // "second part of a repeated field" (108-113)
+    val first = Array(6); val part = Array(7, 109); val second = Array(108)
+    def wrapped(slop: Int) =
+      SloppyPhrase.freq(Array(first, part, second, part), Array(0, 1, 2, 3), slop)
+    assert(wrapped(100) > 0.0, "slop 100 must match")
+    assert(wrapped(99) == 0.0, "slop 99 must not match")
+
+    // testNonExistingPhrase — "phrase exist notexist exist found"
+    val phrase = Array(0); val exist = Array(1, 3); val notexist = Array(2)
+    assert(SloppyPhrase.freq(Array(phrase, exist, exist), Array(0, 1, 2), 1) > 0.0)
+    assert(SloppyPhrase.freq(Array(phrase, notexist, phrase), Array(0, 1, 2), 1000) == 0.0)
+    assert(SloppyPhrase.freq(Array(phrase, exist, exist, exist), Array(0, 1, 2, 3), 1000) == 0.0)
+  }
+
+  test("sloppy phrase palindrome: reference testPalindrome2/3 via the engine") {
+    // PhraseQueryTest.cpp:414-505 over "one two three two one" + the
+    // non-palindrome "one two three four five"
+    val texts = Seq("one two three four five", "one two three two one")
+    val dir = indexOf(texts, "whitespace")
+    for (sim <- Seq[Similarity](BM25(), ClassicTFIDF, BM25Exact())) {
+      // exact and slop-2 agree on the non-palindrome doc
+      val exact = LocalIndex.search(dir, PhraseQ(Seq("two", "three"), 0), 10, sim)
+        .filter(_.docId == 0L)
+      val sloppy = LocalIndex.search(dir, PhraseQ(Seq("two", "three"), 2), 10, sim)
+      assert(sloppy.exists(_.docId == 0L))
+      assert(math.abs(exact.head.score -
+        sloppy.find(_.docId == 0L).get.score) < 1e-6)
+      // ordered and reversed both match the palindrome at slop 2 / 4
+      assert(LocalIndex.search(dir, PhraseQ(Seq("two", "three"), 2), 10, sim).exists(_.docId == 1L))
+      assert(LocalIndex.search(dir, PhraseQ(Seq("three", "two"), 2), 10, sim).exists(_.docId == 1L))
+      assert(LocalIndex.search(dir, PhraseQ(Seq("one", "two", "three"), 4), 10, sim).exists(_.docId == 1L))
+      assert(LocalIndex.search(dir, PhraseQ(Seq("three", "two", "one"), 4), 10, sim).exists(_.docId == 1L))
+    }
+    // repeated-term phrase through the full engine == spec
+    checkAll(texts, "whitespace", Seq(
+      PhraseQ(Seq("one", "two", "one"), 4),
+      PhraseQ(Seq("two", "two"), 3),
+      PhraseQ(Seq("one", "two", "two", "one"), 2)))
+  }
+
+  test("sloppy phrase with repeats: engine == spec on random corpora") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("r1", "r2", "r3", "r4")
+    val texts = (0 until 200).map { _ =>
+      (0 until (4 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val queries = (0 until 40).map { _ =>
+      val n = 2 + rnd.nextInt(3)
+      PhraseQ((0 until n).map(_ => vocab(rnd.nextInt(vocab.size))), 1 + rnd.nextInt(4))
+    }
+    checkAll(texts, "whitespace", queries, dps = 53)
+  }
+
   test("heap disjunction (>32 clauses) is bit-identical to min-scan") {
     val rnd = new scala.util.Random(11)
     val vocab = (0 until 60).map(i => s"v$i")
