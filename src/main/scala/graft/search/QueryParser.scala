@@ -90,9 +90,13 @@ object QueryParser {
           Some(withBoost(inner))
         case '"' =>
           i += 1
-          val start = i
-          while (i < s.length && s.charAt(i) != '"') i += 1
-          val raw = s.substring(start, i)
+          val sb = new StringBuilder
+          while (i < s.length && s.charAt(i) != '"') {
+            // \" embeds a quote (QueryParser.cpp discardEscapeChar :568-607)
+            if (s.charAt(i) == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+            else { sb.append(s.charAt(i)); i += 1 }
+          }
+          val raw = sb.toString
           expect('"')
           var slop = 0
           if (i < s.length && s.charAt(i) == '~') {
@@ -107,7 +111,7 @@ object QueryParser {
           }
           Some(withBoost(q))
         case '[' | '{' =>
-          val inclusive = s.charAt(i) == '['
+          val includeLower = s.charAt(i) == '['
           i += 1
           val lo = rangeTerm()
           skipWs()
@@ -116,29 +120,54 @@ object QueryParser {
             if (afterLo.equalsIgnoreCase("TO")) { skipWs(); rangeTerm() }
             else afterLo
           skipWs()
-          if (i < s.length && (s.charAt(i) == ']' || s.charAt(i) == '}')) i += 1
+          // each bracket carries its own inclusivity: [a TO b} is
+          // lower-inclusive, upper-exclusive (classic syntax)
+          var includeUpper = includeLower
+          if (i < s.length && (s.charAt(i) == ']' || s.charAt(i) == '}')) {
+            includeUpper = s.charAt(i) == ']'
+            i += 1
+          }
           val lower = if (lo == "*") None else Some(lo.toLowerCase)
           val upper = if (hi == "*") None else Some(hi.toLowerCase)
-          Some(withBoost(TermRangeQ(lower, upper, inclusive, inclusive)))
+          Some(withBoost(TermRangeQ(lower, upper, includeLower, includeUpper)))
         case _ =>
+          // term scan with \-escapes: an escaped char is literal — never a
+          // wildcard, field colon, or terminator
+          // (QueryParser.cpp discardEscapeChar :568-607)
           val start = i
-          while (i < s.length && !isTermEnd(s.charAt(i))) i += 1
+          val sb = new StringBuilder
+          val isEsc = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+          var scanning = true
+          while (scanning && i < s.length) {
+            val c = s.charAt(i)
+            if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); isEsc += true; i += 2 }
+            else if (isTermEnd(c)) scanning = false
+            else { sb.append(c); isEsc += false; i += 1 }
+          }
           if (i == start) { i += 1; return None }
-          var text = s.substring(start, i)
-          // strip a field prefix (single-field engine: field names are
-          // accepted and ignored, matching our fixed-schema data model)
-          val colon = text.indexOf(':')
-          if (colon > 0 && colon < text.length - 1) text = text.substring(colon + 1)
+          if (sb.isEmpty) return None
+          var text = sb.toString
+          var esc = isEsc.toIndexedSeq
+          // strip a field prefix at the first UNescaped ':' (single-field
+          // engine: field names are accepted and ignored)
+          val colon = esc.indices.find(j => text.charAt(j) == ':' && !esc(j)).getOrElse(-1)
+          if (colon > 0 && colon < text.length - 1) {
+            text = text.substring(colon + 1)
+            esc = esc.drop(colon + 1)
+          }
           // fuzzy?
           if (i < s.length && s.charAt(i) == '~') {
             i += 1
             val sim = number().map(_.toFloat).getOrElse(0.5f)
             return Some(withBoost(FuzzyQ(text.toLowerCase, sim)))
           }
+          def unescapedWild(j: Int): Boolean =
+            (text.charAt(j) == '*' || text.charAt(j) == '?') && !esc(j)
           val q: Query =
-            if (text.contains("*") || text.contains("?")) {
+            if (text.indices.exists(unescapedWild)) {
               val lower = text.toLowerCase
-              if (lower.endsWith("*") && !lower.dropRight(1).exists(c => c == '*' || c == '?'))
+              if (unescapedWild(text.length - 1) && text.charAt(text.length - 1) == '*' &&
+                !text.indices.dropRight(1).exists(unescapedWild))
                 PrefixQ(lower.dropRight(1))
               else WildcardQ(lower)
             } else {

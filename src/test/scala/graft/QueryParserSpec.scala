@@ -76,6 +76,36 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p("title:foo bar") == BoolQ(Nil, Seq(TermQ("foo"), TermQ("bar")), Nil, 0))
   }
 
+  test("escapes: literal wildcard, quote, colon, space (QueryParser.cpp:568-607)") {
+    // escaped * / ? are literal chars, not wildcard operators: the term
+    // goes through the analyzer (which may split on the punctuation — the
+    // reference behaves the same way), NOT through wildcard rewrite
+    assert(p("ab\\*c") == PhraseQ(Seq("ab", "c"), 0))
+    assert(p("ab\\?c") == PhraseQ(Seq("ab", "c"), 0))
+    val wa = graft.analysis.WhitespaceAnalyzer
+    assert(QueryParser.parse("ab\\*c", wa) == TermQ("ab*c"))
+    assert(QueryParser.parse("ab\\?c", wa) == TermQ("ab?c"))
+    // escaped wildcard + real wildcard still builds a multi-term query
+    assert(p("ab\\:c*") == PrefixQ("ab:c"))
+    // escaped colon is part of the term — no field stripping
+    assert(QueryParser.parse("a\\:b", wa) == TermQ("a:b"))
+    // escaped space reaches the analyzer as one chunk (which then splits
+    // it — same as the reference: escaping only disarms the PARSER)
+    assert(QueryParser.parse("up\\ down", wa) == PhraseQ(Seq("up", "down"), 0))
+    // escaped quote inside a phrase
+    assert(QueryParser.parse("\"say \\\"hi\\\" now\"", wa) ==
+      PhraseQ(Seq("say", "\"hi\"", "now"), 0))
+    // trailing backslash does not explode
+    assert(p("abc\\") == TermQ("abc"))
+  }
+
+  test("range brackets carry per-side inclusivity") {
+    assert(p("[aa TO bb]") == TermRangeQ(Some("aa"), Some("bb"), true, true))
+    assert(p("{aa TO bb}") == TermRangeQ(Some("aa"), Some("bb"), false, false))
+    assert(p("[aa TO bb}") == TermRangeQ(Some("aa"), Some("bb"), true, false))
+    assert(p("{aa TO bb]") == TermRangeQ(Some("aa"), Some("bb"), false, true))
+  }
+
   test("parsed query is searchable end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qp").toString
     val texts = Seq("the quick brown fox", "a quick dog", "slow brown turtle")
