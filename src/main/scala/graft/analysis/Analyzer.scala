@@ -32,15 +32,17 @@ object Filters {
   }
 
   def lowerCaseFilter(in: Iterator[Token]): Iterator[Token] = in.map { t =>
-    var changed = false
-    val arr = t.term.toCharArray
+    // detect before copying: all-lowercase tokens (the common case in web
+    // text) allocate nothing in this filter
+    val s = t.term
     var i = 0
-    while (i < arr.length) {
-      val lo = Character.toLowerCase(arr(i))
-      if (lo != arr(i)) { arr(i) = lo; changed = true }
-      i += 1
+    while (i < s.length && Character.toLowerCase(s.charAt(i)) == s.charAt(i)) i += 1
+    if (i == s.length) t
+    else {
+      val arr = s.toCharArray
+      while (i < arr.length) { arr(i) = Character.toLowerCase(arr(i)); i += 1 }
+      t.copy(term = new String(arr))
     }
-    if (changed) t.copy(term = new String(arr)) else t
   }
 
   def stopFilter(stop: Set[String])(in: Iterator[Token]): Iterator[Token] =

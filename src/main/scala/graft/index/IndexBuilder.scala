@@ -46,13 +46,14 @@ final case class BuildReport(
   *
   * Shape of the job — designed for 10^12 docs / 1000 executors:
   *
-  *  1. global sort by `url` + per-partition count / exclusive scan → dense
-  *     deterministic docIDs. Rank-identical output across cluster sizes
-  *     requires ids that do not depend on partitioning; a total order +
-  *     rank is the only assignment with that property (SURVEY.md §7.4-2).
-  *     This is the one place we drop to the RDD API — the count + scan has
-  *     no Dataset equivalent. The corpus is never cached: every job reuses
-  *     the sort's shuffle files.
+  *  1. deterministic dense docIDs: sort the URLS ONLY (key-sized shuffle),
+  *     rank them via per-partition counts + exclusive scan (the one place
+  *     we drop to the RDD API — the scan has no Dataset equivalent), and
+  *     hash-join ids back onto the text. Rank-identical output across
+  *     cluster sizes requires ids that do not depend on partitioning; a
+  *     total order + rank is the only assignment with that property
+  *     (SURVEY.md §7.4-2). The corpus text is never sorted and never
+  *     cached — at 10^12 docs either would be a corpus-sized sort/spill.
   *  2. resume filter: docs inside any committed segment's [docBase,
   *     docBase+docCount) range are skipped BEFORE tokenization (range, not
   *     segId, so compacted segments resume correctly — north rule
@@ -95,25 +96,32 @@ object IndexBuilder {
         s"cannot resume: committed segment docBase $s is not aligned to docsPerSegment=$dps0")
     }
 
-    // (1) deterministic dense docIDs: global url order → rank, via explicit
-    // per-partition counts + exclusive scan. The sort's shuffle files are
-    // reused by every job below (count, docmap, build), so the corpus is
-    // never cached — at 10^12 docs a MEMORY_AND_DISK persist of the full
-    // text would itself be a corpus-sized spill.
-    val sortedBase = corpus.select($"url", $"text").as[(String, String)]
-      .orderBy($"url")
-      .rdd
-    val partCounts: Array[Long] = sortedBase
+    // (1) deterministic dense docIDs: global url order → rank. Only the
+    // URLS are sorted (a key-sized shuffle); per-partition counts + an
+    // exclusive scan turn the sort into dense ranks, and a hash join
+    // attaches ids back to the text. The corpus text is therefore NEVER
+    // sorted and NEVER cached — at 10^12 docs either would be a
+    // corpus-sized sort/spill. Requires unique urls (one doc per url —
+    // the web-crawl snapshot contract; also what the docmap assumes).
+    val sortedUrls = corpus.select($"url").as[String].orderBy($"url").rdd
+    val partCounts: Array[Long] = sortedUrls
       .mapPartitionsWithIndex { (i, it) =>
         var n = 0L
         while (it.hasNext) { it.next(); n += 1 }
         Iterator((i, n))
       }.collect().sortBy(_._1).map(_._2)
     val offsets: Array[Long] = partCounts.scanLeft(0L)(_ + _)
-    val sorted = sortedBase.mapPartitionsWithIndex { (i, it) =>
+    val idsDF = sortedUrls.mapPartitionsWithIndex { (i, it) =>
       var id = offsets(i) - 1
-      it.map { case (url, text) => id += 1; (id, url, text) }
-    }
+      it.map { url => id += 1; (url, id) }
+    }.toDF("url", "docId")
+    // shuffle-hash over sort-merge (the ids are the small, fixed-width
+    // side; SMJ would re-sort the text); AQE still upgrades this to a
+    // broadcast join when the id side is small enough
+    val sorted = corpus.select($"url", $"text")
+      .join(idsDF.hint("shuffle_hash"), Seq("url"))
+      .select($"docId", $"url", $"text").as[(Long, String, String)]
+      .rdd
 
     {
       val numDocs = offsets.last
@@ -127,8 +135,7 @@ object IndexBuilder {
       if (cfg.writeDocMap) {
         val docMapPath = new java.io.File(cfg.indexDir, "docmap").getPath
         if (!new java.io.File(docMapPath, "_SUCCESS").exists()) {
-          sorted.map { case (id, url, _) => (id, url) }
-            .toDF("docId", "url")
+          idsDF.select($"docId", $"url")
             .write.mode("overwrite").parquet(docMapPath)
         }
       }

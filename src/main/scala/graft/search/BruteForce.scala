@@ -109,6 +109,9 @@ object BruteForce {
       if (terms.exists(t => doc.freq(t) > 0)) Some((boost * queryNorm).toDouble)
       else None
 
+    case CachedQ(inner) =>
+      scoreDoc(inner, doc, sim, st, dfm, queryNorm).map(_ => 0.0)
+
     case sq: SpanQuery =>
       Spans.buildLocal(sq, t => doc.termPositions.get(t)) match {
         case None => None

@@ -15,7 +15,41 @@ object ReaderCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, SegmentReader]()
   def get(segDir: String): SegmentReader =
     cache.computeIfAbsent(segDir, d => new SegmentReader(new File(d)))
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = { cache.clear(); FilterCache.clear() }
+}
+
+/** Per-(segment, filter) memoized match bitsets — the reference's
+  * CachingWrapperFilter per-reader cache
+  * (/root/reference/src/core/search/CachingWrapperFilter.cpp:1-155)
+  * keyed by segment directory (segments are immutable). Bounded LRU so a
+  * long-lived executor holding many indexes cannot grow without limit. */
+object FilterCache {
+  private val MaxEntries = 256
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong
+  private val missCount = new java.util.concurrent.atomic.AtomicLong
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Query), java.util.BitSet](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Query), java.util.BitSet]): Boolean =
+          size() > MaxEntries
+      })
+
+  def getOrCompute(segDir: String, q: Query)(compute: => java.util.BitSet): java.util.BitSet = {
+    val key = (segDir, q)
+    val hit = cache.get(key)
+    if (hit != null) { hitCount.incrementAndGet(); hit }
+    else {
+      missCount.incrementAndGet()
+      val bits = compute
+      cache.put(key, bits)
+      bits
+    }
+  }
+
+  def hits: Long = hitCount.get
+  def misses: Long = missCount.get
+  def clear(): Unit = { cache.clear(); hitCount.set(0); missCount.set(0) }
 }
 
 /** Distributed BM25 top-k over the committed segment set.
@@ -71,6 +105,7 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
       case mt: MultiTermQ => Seq(mt)
       case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(collectNodes)
       case ConstantScoreQ(inner, _) => collectNodes(inner)
+      case CachedQ(inner) => collectNodes(inner)
       case DisMaxQ(ds, _, _) => ds.flatMap(collectNodes)
       case FilteredQ(q2, f) => collectNodes(q2) ++ collectNodes(f)
       case _ => Nil
@@ -110,6 +145,7 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
       case BoolQ(m, s, n, msm) =>
         BoolQ(m.map(rewriteTree), s.map(rewriteTree), n.map(rewriteTree), msm)
       case ConstantScoreQ(inner, boost) => ConstantScoreQ(rewriteTree(inner), boost)
+      case CachedQ(inner) => CachedQ(rewriteTree(inner))
       case DisMaxQ(ds, tie, boost) => DisMaxQ(ds.map(rewriteTree), tie, boost)
       case FilteredQ(q2, f) => FilteredQ(rewriteTree(q2), rewriteTree(f))
       case other => other

@@ -162,6 +162,7 @@ object MultiTerm {
       BoolQ(m.map(expand(_, termsFrom)), s.map(expand(_, termsFrom)),
         n.map(expand(_, termsFrom)), msm)
     case ConstantScoreQ(inner, boost) => ConstantScoreQ(expand(inner, termsFrom), boost)
+    case CachedQ(inner) => CachedQ(expand(inner, termsFrom))
     case DisMaxQ(ds, tie, boost) => DisMaxQ(ds.map(expand(_, termsFrom)), tie, boost)
     case FilteredQ(q2, f) => FilteredQ(expand(q2, termsFrom), expand(f, termsFrom))
     case other => other

@@ -66,6 +66,13 @@ final case class FuzzyQ(term: String, minSimilarity: Float = 0.5f,
   override def constantScore: Boolean = false
 }
 
+/** Filter with a per-segment memoized match bitset (reference
+  * CachingWrapperFilter.cpp:1-155): the wrapped query's match set is
+  * computed once per segment and reused across queries — segments are
+  * immutable, so the cache never invalidates. Scoreless (meant as the
+  * `filter` side of [[FilteredQ]] or a BoolQ filter clause). */
+final case class CachedQ(inner: Query) extends Query
+
 /** Constant-score union of an explicit term set — the bitmap-filter rewrite
   * of large multi-term expansions (reference
   * MultiTermQueryWrapperFilter.cpp + MultiTermQuery CONSTANT_SCORE_FILTER,
@@ -110,6 +117,7 @@ object Query {
     case PhraseQ(ts, _, _) => ts.toSet
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(allTerms).toSet
     case ConstantScoreQ(inner, _) => allTerms(inner)
+    case CachedQ(inner) => allTerms(inner)
     case DisMaxQ(ds, _, _) => ds.flatMap(allTerms).toSet
     case FilteredQ(q2, f) => allTerms(q2) ++ allTerms(f)
     case MultiPhraseQ(slots, _) => slots.flatten.toSet
@@ -137,6 +145,7 @@ object Query {
     case _: SpanQuery => true
     case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(needsPositions)
     case ConstantScoreQ(inner, _) => needsPositions(inner)
+    case CachedQ(inner) => needsPositions(inner)
     case DisMaxQ(ds, _, _) => ds.exists(needsPositions)
     case FilteredQ(q2, f) => needsPositions(q2) || needsPositions(f)
     case _ => false
@@ -146,6 +155,7 @@ object Query {
     case _: MultiTermQ => true
     case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(hasMultiTerm)
     case ConstantScoreQ(inner, _) => hasMultiTerm(inner)
+    case CachedQ(inner) => hasMultiTerm(inner)
     case DisMaxQ(ds, _, _) => ds.exists(hasMultiTerm)
     case FilteredQ(q2, f) => hasMultiTerm(q2) || hasMultiTerm(f)
     case _ => false

@@ -87,6 +87,7 @@ object SegmentSearch {
     case MatchAllQ => sim.constWeightSq(1f)
     case ConstantScoreQ(_, boost) => sim.constWeightSq(boost)
     case TermSetQ(_, boost) => sim.constWeightSq(boost)
+    case CachedQ(_) => 0f // scoreless filter
     case DisMaxQ(ds, _, boost) =>
       boost * boost * ds.map(sumOfSquaredWeights(_, sim, stats, df)).sum
     case mt: MultiTermQ =>
@@ -153,6 +154,18 @@ object SegmentSearch {
         val w = sim.phraseWeight(Spans.idfSum(sq, sim, stats, df), sq.boost, queryNorm, stats)
         new SpanScorer(spans, w, reader.norms, reader.doclens)
       }
+
+    case CachedQ(inner) =>
+      // memoized match bitset per (segment, filter) — scoreless
+      val bits = FilterCache.getOrCompute(reader.dir.getPath, inner) {
+        val b = new java.util.BitSet(reader.meta.docCount)
+        scorer(inner, reader, sim, stats, df, queryNorm).foreach { s =>
+          var d = s.nextDoc()
+          while (d != Scorer.NoMoreDocs) { b.set(d); d = s.nextDoc() }
+        }
+        b
+      }
+      if (bits.isEmpty) None else Some(new BitSetScorer(bits, 0.0))
 
     case TermSetQ(terms, boost) =>
       // bitmap-filter path: one pass over each matched term's doc postings

@@ -257,6 +257,28 @@ class QueryFamilySpec extends AnyFunSuite {
     checkAll(texts, "whitespace", queries, dps = 53)
   }
 
+  test("cached filter: per-segment memoized bitset, same results, cache hit on reuse") {
+    val texts = SyntheticCorpus.localPages(200, seed = 9, avgLen = 25, vocab = 60).map(_.text)
+    val dir = indexOf(texts, "standard", dps = 50)
+    val corpus = bfCorpus(texts, "standard")
+    graft.search.ReaderCache.clear() // also clears FilterCache counters
+    val plain = FilteredQ(TermQ("w3"), PrefixQ("w1"))
+    val cached = FilteredQ(TermQ("w3"), CachedQ(PrefixQ("w1")))
+    for (sim <- Seq[Similarity](BM25(), ClassicTFIDF)) {
+      val a = LocalIndex.search(dir, plain, 10, sim)
+      val b = LocalIndex.search(dir, cached, 10, sim)
+      assert(a.toSeq == b.toSeq, s"sim=$sim")
+      val spec = BruteForce.search(corpus, cached, 10, sim)
+      assert(b.map(_.docId).toSeq == spec.map(_.docId).toSeq)
+      b.zip(spec).foreach { case (e, s) => assert(e.score == s.score) }
+    }
+    val missesAfterFirstPass = graft.search.FilterCache.misses
+    assert(missesAfterFirstPass > 0)
+    LocalIndex.search(dir, cached, 10, BM25())
+    assert(graft.search.FilterCache.misses == missesAfterFirstPass, "filter recomputed")
+    assert(graft.search.FilterCache.hits > 0)
+  }
+
   test("heap disjunction (>32 clauses) is bit-identical to min-scan") {
     val rnd = new scala.util.Random(11)
     val vocab = (0 until 60).map(i => s"v$i")
