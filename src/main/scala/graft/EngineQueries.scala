@@ -22,9 +22,16 @@ object EngineQueries {
     searchers.getOrElseUpdate(sfDir, {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft-index-" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
-      val committed = IndexMetaIO.readLatest(dir)
+      val committed = IndexMetaIO.readLatestWithExtra(dir)
+        .filter { case (_, extra) => extra.get("format").contains(IndexMetaIO.FormatVersion) }
         .filter(_ => new java.io.File(dir, "docmap/_SUCCESS").exists())
       if (committed.isEmpty) {
+        // stale or old-format cache: wipe and rebuild
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        if (new java.io.File(dir).exists()) rm(new java.io.File(dir))
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val corpus = docs.select(format_string("%012d", col("doc_id")).as("url"), col("text"))
         IndexBuilder.build(spark, corpus,

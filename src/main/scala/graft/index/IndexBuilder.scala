@@ -81,6 +81,11 @@ object IndexBuilder {
     new java.io.File(cfg.indexDir).mkdirs()
 
     val analyzer = Analyzer.byName(cfg.analyzer)
+    IndexMetaIO.readLatestWithExtra(cfg.indexDir).foreach { case (_, extra) =>
+      require(extra.get("format").contains(IndexMetaIO.FormatVersion),
+        s"${cfg.indexDir} was written with segment format ${extra.getOrElse("format", "1")} " +
+          s"(current ${IndexMetaIO.FormatVersion}); delete it and rebuild")
+    }
     val committed = IndexMetaIO.committedSegments(cfg.indexDir)
       .filter(m => m.analyzer == cfg.analyzer && m.hasPositions == cfg.storePositions)
     val dps0 = cfg.docsPerSegment

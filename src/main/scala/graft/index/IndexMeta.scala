@@ -28,6 +28,12 @@ final case class IndexMeta(
 
 object IndexMetaIO {
 
+  /** On-disk segment format version, stamped into every commit snapshot.
+    * Bump when the term-dict/postings layout changes (v2: per-term skip
+    * tables + skipBytes in the term entry); readers of a mismatched index
+    * must rebuild rather than mis-parse. */
+  val FormatVersion = "2"
+
   def encodeSegment(m: SegmentMeta): Array[Byte] = {
     val w = new ByteWriter(128)
     w.writeVInt(m.segId)
@@ -68,7 +74,8 @@ object IndexMetaIO {
     * segments to queries (the reference's write-once segments_N semantics,
     * SegmentInfos.cpp:226-289). `extra` carries e.g. the streaming batch
     * watermark. */
-  def writeCommit(indexDir: String, meta: IndexMeta, extra: Map[String, String] = Map.empty): Unit = {
+  def writeCommit(indexDir: String, meta: IndexMeta, extra0: Map[String, String] = Map.empty): Unit = {
+    val extra = if (extra0.contains("format")) extra0 else extra0 + ("format" -> FormatVersion)
     val commitsDir = new File(indexDir, "commits")
     commitsDir.mkdirs()
     val gen = 1 + listCommitGens(commitsDir).foldLeft(-1)(math.max)

@@ -29,7 +29,7 @@ final case class SegmentMeta(
 /** One term-dictionary entry (df + term-level max-impact metadata +
   * postings location). */
 final case class TermInfo(term: String, df: Int, maxFreq: Int, minDlByte: Byte,
-    minDl: Int, postingsOffset: Long, postingsBytes: Long)
+    minDl: Int, postingsOffset: Long, postingsBytes: Long, skipBytes: Int = 0)
 
 object SegmentFormat {
   /** Postings per block; also the term-index sampling interval
@@ -37,6 +37,14 @@ object SegmentFormat {
     * /root/reference/src/core/index/IndexWriter.cpp:64). */
   val BlockSize: Int = IntBlockCodec.BlockSize
   val TermIndexInterval = 64
+  /** A skip entry is written before every SkipInterval-th block: a long
+    * advance binary-searches the entries and lands at most SkipInterval
+    * headers from the target, instead of scanning O(df/BlockSize) headers
+    * (the multi-level-skip role of the reference's
+    * MultiLevelSkipListWriter.cpp, flattened to one indexed level — the
+    * entries live contiguously after the term's blocks, so one level
+    * binary-searches in O(log)). */
+  val SkipInterval = 16
   val NoMoreDocs: Int = Int.MaxValue
 
   def segDirName(segId: Int): String = f"seg-$segId%05d"
@@ -98,6 +106,9 @@ final class SegmentWriter(
   private var bufN = 0
   private var prevDocInTerm = -1
   private var prevBlockLastDoc = -1
+  private var blockIdxInTerm = 0
+  private val skipPrevLast = new scala.collection.mutable.ArrayBuffer[Int]
+  private val skipOffsets = new scala.collection.mutable.ArrayBuffer[Int]
 
   def addDocLength(localDoc: Int, dl: Int): Unit = {
     norms(localDoc) = SmallFloat.encodeNorm(dl)
@@ -143,10 +154,20 @@ final class SegmentWriter(
     prevDocInTerm = -1
     prevBlockLastDoc = -1
     bufN = 0
+    blockIdxInTerm = 0
+    skipPrevLast.clear()
+    skipOffsets.clear()
   }
 
   private def flushBlock(): Unit = {
     if (bufN == 0) return
+    // skip entry BEFORE every SkipInterval-th block: (last doc of the
+    // previous block, byte offset of this block's header within the term)
+    if (blockIdxInTerm > 0 && blockIdxInTerm % SkipInterval == 0) {
+      skipPrevLast += prevBlockLastDoc
+      skipOffsets += (postingsOut.size - curPostingsStart).toInt
+    }
+    blockIdxInTerm += 1
     val n = bufN
     val lastDoc = docBuf(n - 1)
     // block-max metadata
@@ -192,6 +213,22 @@ final class SegmentWriter(
 
   private def endTerm(): Unit = {
     flushBlock()
+    // append the term's skip table after its blocks (delta VInts)
+    val skipStart = postingsOut.size
+    if (skipPrevLast.nonEmpty) {
+      postingsOut.writeVInt(skipPrevLast.size)
+      var prevD = -1
+      var prevO = 0
+      var i = 0
+      while (i < skipPrevLast.size) {
+        postingsOut.writeVInt(skipPrevLast(i) - prevD)
+        postingsOut.writeVInt(skipOffsets(i) - prevO)
+        prevD = skipPrevLast(i)
+        prevO = skipOffsets(i)
+        i += 1
+      }
+    }
+    val skipBytes = postingsOut.size - skipStart
     // term dict entry
     val restart = termCount % TermIndexInterval == 0
     val prefixLen =
@@ -216,7 +253,8 @@ final class SegmentWriter(
     termsOut.writeByte(SmallFloat.encodeNorm(curMinDl))
     termsOut.writeVInt(curMinDl)
     termsOut.writeVLong(curPostingsStart - lastPostingsEnd) // delta, usually 0
-    termsOut.writeVLong(postingsOut.size.toLong - curPostingsStart) // length
+    termsOut.writeVLong(postingsOut.size.toLong - curPostingsStart) // length incl. skip table
+    termsOut.writeVInt(skipBytes)
     lastPostingsEnd = postingsOut.size.toLong
 
     prevTerm = curTerm
@@ -333,7 +371,8 @@ final class SegmentReader(val dir: File) {
       val minDl = r.readVInt()
       postingsPos += r.readVLong()
       val len = r.readVLong()
-      if (t == term) return Some(TermInfo(t, df, maxFreq, minDlByte, minDl, postingsPos, len))
+      val skipB = r.readVInt()
+      if (t == term) return Some(TermInfo(t, df, maxFreq, minDlByte, minDl, postingsPos, len, skipB))
       if (t > term) return None
       postingsPos += len
       prev = t
@@ -382,17 +421,40 @@ final class SegmentReader(val dir: File) {
         val minDl = r.readVInt()
         postingsPos += r.readVLong()
         val len = r.readVLong()
-        val ti = TermInfo(t, df, maxFreq, minDlByte, minDl, postingsPos, len)
+        val skipB = r.readVInt()
+        val ti = TermInfo(t, df, maxFreq, minDlByte, minDl, postingsPos, len, skipB)
         postingsPos += len
         prev = t
         ti
       }
     }
 
-  def postings(ti: TermInfo, needPositions: Boolean): PostingsIterator =
+  def postings(ti: TermInfo, needPositions: Boolean): PostingsIterator = {
+    // decode the term's skip table (appended after its blocks)
+    var skipDocs: Array[Int] = null
+    var skipOffs: Array[Int] = null
+    if (ti.skipBytes > 0) {
+      val sr = new ByteReader({
+        val d = postingsBuf.duplicate()
+        d.position((ti.postingsOffset + ti.postingsBytes - ti.skipBytes).toInt)
+        d
+      })
+      val n = sr.readVInt()
+      skipDocs = new Array[Int](n)
+      skipOffs = new Array[Int](n)
+      var prevD = -1
+      var prevO = 0
+      var i = 0
+      while (i < n) {
+        prevD += sr.readVInt(); skipDocs(i) = prevD
+        prevO += sr.readVInt(); skipOffs(i) = prevO
+        i += 1
+      }
+    }
     new PostingsIterator(
       new ByteReader({ val d = postingsBuf.duplicate(); d.position(ti.postingsOffset.toInt); d }),
-      ti.df, meta.hasPositions, needPositions)
+      ti.df, meta.hasPositions, needPositions, skipDocs, skipOffs)
+  }
 }
 
 /** Block-decoding postings iterator implementing the DocIdSetIterator
@@ -405,7 +467,9 @@ final class PostingsIterator(
     in: ByteReader,
     val df: Int,
     filePositions: Boolean,
-    needPositions: Boolean) {
+    needPositions: Boolean,
+    skipDocs: Array[Int] = null,
+    skipOffs: Array[Int] = null) {
 
   import SegmentFormat._
 
@@ -428,6 +492,34 @@ final class PostingsIterator(
   private var blockDecoded = false
   private var payloadLen = 0
   private var _doc = -1
+  private val termStart = in.pos // absolute buffer offset of the term's first block
+
+  /** Deep skip via the term's appended skip table: land on the latest
+    * indexed block whose predecessor ends before `target` (then at most
+    * SkipInterval headers remain to scan). Entry i indexes block
+    * (i+1)*SkipInterval; every earlier block is full, so the consumed
+    * count is derivable. */
+  @inline private def skipTableJump(target: Int): Unit = {
+    if (skipDocs == null) return
+    var lo = 0
+    var hi = skipDocs.length - 1
+    var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (skipDocs(mid) < target) { best = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    if (best >= 0) {
+      val jumpConsumed = (best + 1) * SkipInterval * BlockSize
+      if (jumpConsumed > consumed || (jumpConsumed == consumed && headerPending)) {
+        in.seek(termStart + skipOffs(best))
+        headerPending = false
+        blockDecoded = false
+        consumed = jumpConsumed
+        curBlockLast = skipDocs(best)
+        prevBlockLast = skipDocs(best)
+      }
+    }
+  }
 
   def docID: Int = _doc
   def freq: Int = freqs(blockIdx)
@@ -503,7 +595,8 @@ final class PostingsIterator(
   def advance(target: Int): Int = {
     if (_doc == NoMoreDocs) return NoMoreDocs
     if (_doc >= target) return _doc
-    // skip whole blocks via headers only
+    // deep skip via the skip table, then whole blocks via headers only
+    if (curBlockLast < target) skipTableJump(target)
     while (curBlockLast < target) {
       if (!nextBlockHeader()) { _doc = NoMoreDocs; return NoMoreDocs }
     }
@@ -529,6 +622,7 @@ final class PostingsIterator(
   /** Move block headers forward (no payload decode) until the current block
     * may contain `target`. Returns false if exhausted. */
   def skipToBlockContaining(target: Int): Boolean = {
+    if (curBlockLast < target) skipTableJump(target)
     while (curBlockLast < target) {
       if (!nextBlockHeader()) { _doc = NoMoreDocs; return false }
     }

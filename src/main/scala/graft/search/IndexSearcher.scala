@@ -12,9 +12,26 @@ import graft.score.{CorpusStats, Similarity}
   * all tasks on the executor (reference analog: one SegmentReader per open
   * index — /root/reference/src/core/index/DirectoryReader.cpp). */
 object ReaderCache {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, SegmentReader]()
-  def get(segDir: String): SegmentReader =
-    cache.computeIfAbsent(segDir, d => new SegmentReader(new File(d)))
+  /** Bounded: an executor touching 10^5+ segments across many indexes must
+    * not accumulate mmaps without limit; evicted readers' buffers are
+    * unmapped by GC once their scorers finish. */
+  private val MaxReaders = 4096
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, SegmentReader](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, SegmentReader]): Boolean =
+          size() > MaxReaders
+      })
+  def get(segDir: String): SegmentReader = {
+    val hit = cache.get(segDir)
+    if (hit != null) hit
+    else {
+      val r = new SegmentReader(new File(segDir))
+      cache.put(segDir, r)
+      r
+    }
+  }
   def clear(): Unit = { cache.clear(); FilterCache.clear() }
 }
 
@@ -203,13 +220,22 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
           (id, SegmentSearch.topK(reader, q, k, sim, st, df, useWand))
         }
       }
-      .collect()
+
+    val mergeTopK: (Array[ScoredDoc], Array[ScoredDoc]) => Array[ScoredDoc] =
+      (a, b) => (a ++ b).sortBy(h => (-h.score, h.docId)).take(k)
+
+    // merge with the reference tie-break (score desc, docId asc). Above a
+    // segment-count threshold the merge goes through reduceByKey — the
+    // map-side combiners fold each partition's hits first, so the driver
+    // receives O(queries · k) rows instead of O(segments · k)
+    val collected =
+      if (segDirs.size <= 256) perSegment.collect()
+      else perSegment.reduceByKey(mergeTopK, math.max(1, queries.size)).collect()
 
     bcQueries.destroy()
     bcDf.destroy()
 
-    // driver k-way merge with the reference tie-break (score desc, docId asc)
-    perSegment.groupBy(_._1).map { case (id, hits) =>
+    collected.groupBy(_._1).map { case (id, hits) =>
       id -> hits.iterator.flatMap(_._2).toArray
         .sortBy(h => (-h.score, h.docId)).take(k)
     }

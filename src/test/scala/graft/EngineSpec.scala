@@ -176,6 +176,38 @@ class EngineSpec extends AnyFunSuite {
       dps = 97)
   }
 
+  test("skip table: long advances land correctly on high-df terms") {
+    // 24k docs of term 'common' → ~188 blocks → ~11 skip entries
+    // (SkipInterval=16); 'rare' docs force long leapfrog advances
+    val n = 24000
+    val texts = (0 until n).map { i =>
+      if (i % 997 == 0) s"common rare x$i" else s"common x$i"
+    }
+    val dir = indexOf(texts, "whitespace")
+    val reader = new graft.index.SegmentReader(
+      new java.io.File(dir, graft.index.SegmentFormat.segDirName(0)))
+    val ti = reader.termInfo("common").get
+    assert(ti.df == n && ti.skipBytes > 0, ti)
+
+    // advance sequence equals a fresh nextDoc scan filtered to targets
+    val pi = reader.postings(ti, needPositions = false)
+    val rnd = new scala.util.Random(5)
+    var target = 0
+    while (target < n) {
+      val d = pi.advance(target)
+      assert(d == target, s"advance($target) -> $d") // df == n: every doc matches
+      target += 1 + rnd.nextInt(4000) // mix of deep skips and short steps
+    }
+
+    // conjunction (common AND rare) drives deep advances through the skip
+    // table; results must equal the brute-force spec, incl. scores
+    checkAll(texts, "whitespace",
+      Seq(BoolQ(must = Seq(TermQ("common"), TermQ("rare"))),
+        BoolQ(should = Seq(TermQ("common"), TermQ("rare"))),
+        PhraseQ(Seq("common", "rare"))),
+      k = 30)
+  }
+
   test("wand stress: skewed tf/doclen OR queries rank-identical to spec") {
     // Adversarial corpus for BMW admissibility: tf spikes (30 among 1s) and
     // doc-length spikes make per-block maxima genuinely below the term upper

@@ -70,6 +70,22 @@ class SparkIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed merge path (>256 segments) matches driver merge and spec") {
+    val dir = tmpDir()
+    // 500 single-doc segments force the reduceByKey top-k merge
+    IndexBuilder.build(spark, corpus, IndexConfig(dir, docsPerSegment = 1, writeDocMap = false))
+    val searcher = new IndexSearcher(spark, dir)
+    assert(searcher.meta.segments.size == N)
+    val queries: Seq[(String, Query)] = Seq(
+      "t" -> TermQ("w3"),
+      "or" -> BoolQ(should = Seq(TermQ("w1"), TermQ("w7"), TermQ("w31"))))
+    val got = searcher.searchBatch(queries, 10, BM25())
+    queries.foreach { case (id, q) =>
+      val spec = BruteForce.search(bfDocs, q, 10, BM25())
+      assert(got(id).toSeq == spec.toSeq, s"query $id")
+    }
+  }
+
   test("build output is byte-identical across shuffle partitioning AND build modes") {
     val d4 = tmpDir(); val d8 = tmpDir(); val ds = tmpDir()
     IndexBuilder.build(spark, corpus, IndexConfig(d4, docsPerSegment = 64,
