@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
-import graft.search.{BoolQ, DisMaxQ, FuzzyQ, PhraseQ, PrefixQ, SpanFirstQ, SpanNearQ,
-  SpanNotQ, SpanTermQ, TermQ, TermRangeQ, WildcardQ}
+import graft.search.{BoolQ, CustomScoreQ, DisMaxQ, DocLenVS, FuzzyQ, PhraseQ, PrefixQ,
+  SpanFirstQ, SpanNearQ, SpanNotQ, SpanTermQ, TermQ, TermRangeQ, WildcardQ}
 
 /** Driver contract (see the builder prompt): `queries` are the operator
   * inventory exercised against the driver's parquet tables; `oracleSql` are
@@ -212,6 +212,12 @@ object SparkEntry {
       EngineQueries.topK(s, dir,
         DisMaxQ(Seq(TermQ("window"), TermQ("merge")), tieBreaker = 0.5f), 10)),
 
+    // function scoring: BM25 of 'window' boosted by the doc-length value
+    // source (CustomScoreQuery default provider = product)
+    "custom_score" -> ((s, dir) =>
+      EngineQueries.topK(s, dir,
+        CustomScoreQ(TermQ("window"), Seq(DocLenVS)), 10)),
+
     // the classic-syntax parser front-end produces the same plan as
     // bm25_topk — same oracle, different entry path
     "bm25_parsed" -> ((s, dir) =>
@@ -410,6 +416,12 @@ object SparkEntry {
          |SELECT DISTINCT doc_id FROM p a JOIN p b USING (doc_id)
          |WHERE a.term = 'window' AND b.term = 'merge'
          |AND abs((b.pos - 1) - a.pos) <= 2""".stripMargin,
+
+    "custom_score" ->
+      s"""${bm25PerTermCte("'window'")}
+         |SELECT ts.doc_id, round(ts.sc * dl.dl, 4) AS score
+         |FROM ts JOIN dl USING (doc_id)
+         |ORDER BY score DESC, ts.doc_id LIMIT 10""".stripMargin,
 
     "dismax_topk" ->
       s"""${bm25PerTermCte("'window', 'merge'")},

@@ -112,6 +112,14 @@ object BruteForce {
     case CachedQ(inner) =>
       scoreDoc(inner, doc, sim, st, dfm, queryNorm).map(_ => 0.0)
 
+    case ValueSourceQ(src, boost) =>
+      Some((boost * queryNorm).toDouble * valueOf(src, doc, st))
+
+    case CustomScoreQ(sub, valSrcs, boost, provider) =>
+      scoreDoc(sub, doc, sim, st, dfm, queryNorm * boost).map { s =>
+        boost.toDouble * provider.customScore(s, valSrcs.map(valueOf(_, doc, st)).toArray)
+      }
+
     case sq: SpanQuery =>
       Spans.buildLocal(sq, t => doc.termPositions.get(t)) match {
         case None => None
@@ -149,6 +157,16 @@ object BruteForce {
           }
         }
       }
+  }
+
+  /** Value-source twin over the single-reader view: docIds are url ranks,
+    * so ord == docId + 1 (engine ords are per segment, like the reference's
+    * per-reader FieldCache — identical on single-segment indexes). */
+  private def valueOf(src: ValueSource, doc: Doc, st: CorpusStats): Double = src match {
+    case DocLenVS => doc.dl.toDouble
+    case OrdVS => (doc.docId + 1).toDouble
+    case ReverseOrdVS => (st.numDocs - doc.docId).toDouble
+    case ConstVS(v) => v
   }
 
   def search(corpus: Seq[Doc], q0: Query, k: Int, sim: Similarity): Array[ScoredDoc] = {

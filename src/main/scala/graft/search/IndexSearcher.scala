@@ -123,6 +123,7 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
       case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(collectNodes)
       case ConstantScoreQ(inner, _) => collectNodes(inner)
       case CachedQ(inner) => collectNodes(inner)
+      case CustomScoreQ(sub, _, _, _) => collectNodes(sub)
       case DisMaxQ(ds, _, _) => ds.flatMap(collectNodes)
       case FilteredQ(q2, f) => collectNodes(q2) ++ collectNodes(f)
       case _ => Nil
@@ -163,6 +164,7 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
         BoolQ(m.map(rewriteTree), s.map(rewriteTree), n.map(rewriteTree), msm)
       case ConstantScoreQ(inner, boost) => ConstantScoreQ(rewriteTree(inner), boost)
       case CachedQ(inner) => CachedQ(rewriteTree(inner))
+      case cs: CustomScoreQ => cs.copy(sub = rewriteTree(cs.sub))
       case DisMaxQ(ds, tie, boost) => DisMaxQ(ds.map(rewriteTree), tie, boost)
       case FilteredQ(q2, f) => FilteredQ(rewriteTree(q2), rewriteTree(f))
       case other => other

@@ -163,6 +163,7 @@ object MultiTerm {
         n.map(expand(_, termsFrom)), msm)
     case ConstantScoreQ(inner, boost) => ConstantScoreQ(expand(inner, termsFrom), boost)
     case CachedQ(inner) => CachedQ(expand(inner, termsFrom))
+    case cs: CustomScoreQ => cs.copy(sub = expand(cs.sub, termsFrom))
     case DisMaxQ(ds, tie, boost) => DisMaxQ(ds.map(expand(_, termsFrom)), tie, boost)
     case FilteredQ(q2, f) => FilteredQ(expand(q2, termsFrom), expand(f, termsFrom))
     case other => other

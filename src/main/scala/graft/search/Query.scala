@@ -66,6 +66,46 @@ final case class FuzzyQ(term: String, minSimilarity: Float = 0.5f,
   override def constantScore: Boolean = false
 }
 
+/** Per-doc value source for function scoring (reference
+  * /root/reference/src/core/search/function/: FieldCacheSource family,
+  * OrdFieldSource.cpp:55-60, ReverseOrdFieldSource.cpp:58-63). The engine's
+  * per-doc values are the doc length sidecar and the url-rank ordinal
+  * (docIds are url ranks, so ord == local docId + 1 — per segment, matching
+  * the reference's per-READER FieldCache ords). */
+sealed trait ValueSource extends Serializable
+/** Exact token count of the doc. */
+case object DocLenVS extends ValueSource
+/** 1-based url-rank ordinal within the segment (OrdFieldSource). */
+case object OrdVS extends ValueSource
+/** docCount − local docId (ReverseOrdFieldSource: end − ord). */
+case object ReverseOrdVS extends ValueSource
+final case class ConstVS(value: Double) extends ValueSource
+
+/** The reference's CustomScoreProvider hook
+  * (CustomScoreProvider.cpp:20-35): combine the sub-query score with the
+  * value-source scores; default is their product. */
+trait CustomScoreProvider extends Serializable {
+  def customScore(subScore: Double, valSrcScores: Array[Double]): Double = {
+    var s = subScore
+    var i = 0
+    while (i < valSrcScores.length) { s *= valSrcScores(i); i += 1 }
+    s
+  }
+}
+case object DefaultCustomScoreProvider extends CustomScoreProvider
+
+/** Function query: matches every doc, score = boost · queryNorm ·
+  * value(doc) (reference ValueSourceQuery.cpp:78-131). */
+final case class ValueSourceQ(src: ValueSource, boost: Float = 1f) extends Query
+
+/** Custom-scored query (reference CustomScoreQuery.cpp, STRICT mode: value
+  * sources enter raw, un-normalized — CustomWeight::normalize qStrict
+  * branch): score = boost · provider(subScore, valueSourceValues), with the
+  * query norm (classic sim) folded into the sub-query via norm·boost. */
+final case class CustomScoreQ(sub: Query, valSrcs: Seq[ValueSource] = Nil,
+    boost: Float = 1f,
+    provider: CustomScoreProvider = DefaultCustomScoreProvider) extends Query
+
 /** Filter with a per-segment memoized match bitset (reference
   * CachingWrapperFilter.cpp:1-155): the wrapped query's match set is
   * computed once per segment and reused across queries — segments are
@@ -118,6 +158,8 @@ object Query {
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(allTerms).toSet
     case ConstantScoreQ(inner, _) => allTerms(inner)
     case CachedQ(inner) => allTerms(inner)
+    case CustomScoreQ(sub, _, _, _) => allTerms(sub)
+    case _: ValueSourceQ => Set.empty
     case DisMaxQ(ds, _, _) => ds.flatMap(allTerms).toSet
     case FilteredQ(q2, f) => allTerms(q2) ++ allTerms(f)
     case MultiPhraseQ(slots, _) => slots.flatten.toSet
@@ -146,6 +188,7 @@ object Query {
     case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(needsPositions)
     case ConstantScoreQ(inner, _) => needsPositions(inner)
     case CachedQ(inner) => needsPositions(inner)
+    case CustomScoreQ(sub, _, _, _) => needsPositions(sub)
     case DisMaxQ(ds, _, _) => ds.exists(needsPositions)
     case FilteredQ(q2, f) => needsPositions(q2) || needsPositions(f)
     case _ => false
@@ -156,6 +199,7 @@ object Query {
     case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(hasMultiTerm)
     case ConstantScoreQ(inner, _) => hasMultiTerm(inner)
     case CachedQ(inner) => hasMultiTerm(inner)
+    case CustomScoreQ(sub, _, _, _) => hasMultiTerm(sub)
     case DisMaxQ(ds, _, _) => ds.exists(hasMultiTerm)
     case FilteredQ(q2, f) => hasMultiTerm(q2) || hasMultiTerm(f)
     case _ => false

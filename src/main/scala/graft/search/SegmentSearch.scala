@@ -88,6 +88,10 @@ object SegmentSearch {
     case ConstantScoreQ(_, boost) => sim.constWeightSq(boost)
     case TermSetQ(_, boost) => sim.constWeightSq(boost)
     case CachedQ(_) => 0f // scoreless filter
+    case ValueSourceQ(_, boost) => sim.constWeightSq(boost) // ValueSourceQuery.cpp:78-80
+    case CustomScoreQ(sub, _, boost, _) =>
+      // (sub sumSq) · boost²; strict value sources contribute nothing
+      boost * boost * sumOfSquaredWeights(sub, sim, stats, df)
     case DisMaxQ(ds, _, boost) =>
       boost * boost * ds.map(sumOfSquaredWeights(_, sim, stats, df)).sum
     case mt: MultiTermQ =>
@@ -153,6 +157,38 @@ object SegmentSearch {
       Spans.build(sq, reader).map { spans =>
         val w = sim.phraseWeight(Spans.idfSum(sq, sim, stats, df), sq.boost, queryNorm, stats)
         new SpanScorer(spans, w, reader.norms, reader.doclens)
+      }
+
+    case ValueSourceQ(src, boost) =>
+      val fn = SegmentSearch.valueFn(src, reader)
+      val qw = (boost * queryNorm).toDouble
+      val n = reader.meta.docCount
+      Some(new Scorer {
+        private var _doc = -1
+        override def docID: Int = if (_doc >= n) Scorer.NoMoreDocs else _doc
+        override def nextDoc(): Int = { _doc += 1; docID }
+        override def advance(t: Int): Int = { _doc = math.max(_doc + 1, t); docID }
+        override def score(): Double = qw * fn(_doc)
+      })
+
+    case CustomScoreQ(sub, valSrcs, boost, provider) =>
+      // strict mode: classic query norm reaches the sub-query (norm·boost);
+      // value sources stay raw (CustomScoreQuery.cpp CustomWeight)
+      scorer(sub, reader, sim, stats, df, queryNorm * boost).map { s =>
+        val fns = valSrcs.map(SegmentSearch.valueFn(_, reader)).toArray
+        val qw = boost.toDouble
+        new Scorer {
+          private val vals = new Array[Double](fns.length)
+          override def docID: Int = s.docID
+          override def nextDoc(): Int = s.nextDoc()
+          override def advance(t: Int): Int = s.advance(t)
+          override def score(): Double = {
+            val d = s.docID
+            var i = 0
+            while (i < fns.length) { vals(i) = fns(i)(d); i += 1 }
+            qw * provider.customScore(s.score(), vals)
+          }
+        }
       }
 
     case CachedQ(inner) =>
@@ -230,6 +266,16 @@ object SegmentSearch {
           }
         }
       }
+  }
+
+  /** Per-doc value of a source within one segment (function package). */
+  def valueFn(src: ValueSource, reader: SegmentReader): Int => Double = src match {
+    case DocLenVS => d => reader.doclens(d).toDouble
+    case OrdVS => d => (d + 1).toDouble
+    case ReverseOrdVS =>
+      val n = reader.meta.docCount
+      d => (n - d).toDouble
+    case ConstVS(v) => _ => v
   }
 
   /** Top-k over one segment. Returns GLOBAL docIds. */

@@ -257,6 +257,33 @@ class QueryFamilySpec extends AnyFunSuite {
     checkAll(texts, "whitespace", queries, dps = 53)
   }
 
+  test("function queries: value sources and custom score vs spec") {
+    val texts = SyntheticCorpus.localPages(150, seed = 13, avgLen = 20, vocab = 50).map(_.text)
+    // single segment: ord semantics are per reader (like the reference's
+    // per-reader FieldCache), so ord parity needs one segment
+    val qs: Seq[Query] = Seq(
+      ValueSourceQ(DocLenVS),
+      ValueSourceQ(OrdVS, boost = 2f),
+      ValueSourceQ(ReverseOrdVS),
+      ValueSourceQ(ConstVS(3.5)),
+      CustomScoreQ(TermQ("w3"), Seq(DocLenVS)),
+      CustomScoreQ(TermQ("w3"), Seq(ConstVS(2.0), ReverseOrdVS), boost = 1.5f),
+      CustomScoreQ(BoolQ(should = Seq(TermQ("w1"), TermQ("w5"))), Seq(OrdVS)),
+      CustomScoreQ(PrefixQ("w1", constantScore = false), Seq(DocLenVS)))
+    checkAll(texts, "standard", qs)
+    // custom provider hook: sub + sum of value sources
+    val plus = new CustomScoreProvider {
+      override def customScore(subScore: Double, vs: Array[Double]): Double =
+        subScore + vs.sum
+    }
+    checkAll(texts, "standard", Seq(CustomScoreQ(TermQ("w3"), Seq(DocLenVS), provider = plus)))
+    // golden: ConstVS query scores exactly boost·const under BM25
+    val dir = indexOf(texts, "standard")
+    val hits = LocalIndex.search(dir, ValueSourceQ(ConstVS(3.5), boost = 2f), 5, BM25())
+    assert(hits.length == 5 && hits.forall(_.score == 7.0))
+    assert(hits.map(_.docId).toSeq == Seq(0L, 1L, 2L, 3L, 4L)) // tie-break docId asc
+  }
+
   test("cached filter: per-segment memoized bitset, same results, cache hit on reuse") {
     val texts = SyntheticCorpus.localPages(200, seed = 9, avgLen = 25, vocab = 60).map(_.text)
     val dir = indexOf(texts, "standard", dps = 50)
