@@ -45,6 +45,57 @@ object Filters {
     }
   }
 
+  /** Porter-stem each token (reference PorterStemFilter.cpp:19-33). */
+  def porterStemFilter(in: Iterator[Token]): Iterator[Token] = {
+    val stemmer = new PorterStemmer
+    in.map { t =>
+      val stemmed = stemmer.stem(t.term)
+      if (stemmed eq t.term) t else t.copy(term = stemmed)
+    }
+  }
+
+  /** Drop tokens whose length is outside [min, max] (reference
+    * LengthFilter.cpp:22-34 — NOTE: does not preserve position increments,
+    * same as the reference). */
+  def lengthFilter(min: Int, max: Int)(in: Iterator[Token]): Iterator[Token] =
+    in.filter(t => t.term.length >= min && t.term.length <= max)
+
+  /** Fold accented / decorated Latin characters to their ASCII base
+    * (the role of the reference's ASCIIFoldingFilter.cpp — Unicode NFD
+    * decomposition + combining-mark strip, plus the common non-decomposable
+    * specials from its table; the reference's exhaustive 2k-line switch is
+    * covered for Latin-1/Latin-Extended text, which is what web text
+    * carries). */
+  def asciiFoldingFilter(in: Iterator[Token]): Iterator[Token] = in.map { t =>
+    if (t.term.forall(_ < 0x80)) t
+    else t.copy(term = foldToAscii(t.term))
+  }
+
+  private val asciiSpecials: Map[Char, String] = Map(
+    'Æ' -> "AE", 'æ' -> "ae", 'Œ' -> "OE", 'œ' -> "oe",
+    'ß' -> "ss", 'Ø' -> "O", 'ø' -> "o", 'Đ' -> "D", 'đ' -> "d",
+    'Ð' -> "D", 'ð' -> "d", 'Þ' -> "TH", 'þ' -> "th",
+    'Ł' -> "L", 'ł' -> "l", 'Ħ' -> "H", 'ħ' -> "h",
+    'ı' -> "i", 'ĸ' -> "q", 'Ŋ' -> "N", 'ŋ' -> "n",
+    'Ŧ' -> "T", 'ŧ' -> "t")
+
+  def foldToAscii(s: String): String = {
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (c < 0x80) sb.append(c)
+      else if (Character.getType(c) == Character.NON_SPACING_MARK) () // strip diacritic
+      else asciiSpecials.get(c) match {
+        case Some(rep) => sb.append(rep)
+        case None => sb.append(c) // non-Latin scripts pass through
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   def stopFilter(stop: Set[String])(in: Iterator[Token]): Iterator[Token] =
     new Iterator[Token] {
       private var pending = 0
@@ -132,12 +183,34 @@ case object SimpleAnalyzer extends Analyzer {
   override def name: String = "simple"
 }
 
+/** Whole input = one token (reference KeywordAnalyzer.cpp /
+  * KeywordTokenizer.cpp) — exact-match fields (ids, urls, zip codes). */
+case object KeywordAnalyzer extends Analyzer {
+  override def analyze(text: String): Iterator[Token] =
+    if (text.isEmpty) Iterator.empty
+    else Iterator.single(Token(text, 1, 0, text.length, TokenType.ALPHANUM))
+  override def name: String = "keyword"
+}
+
+/** StandardAnalyzer chain + Porter stemming (the reference's
+  * PorterStemFilter.cpp appended to the standard chain — the common
+  * English-stemming configuration). */
+final case class PorterAnalyzer(
+    stopWords: Set[String] = Filters.EnglishStopWords,
+    maxTokenLength: Int = 255) extends Analyzer {
+  override def analyze(text: String): Iterator[Token] =
+    Filters.porterStemFilter(StandardAnalyzer(stopWords, maxTokenLength).analyze(text))
+  override def name: String = "porter"
+}
+
 object Analyzer {
   /** Resolve an analyzer by the name stored in index metadata. */
   def byName(name: String): Analyzer = name match {
     case "standard" => StandardAnalyzer()
     case "whitespace" => WhitespaceAnalyzer
     case "simple" => SimpleAnalyzer
+    case "keyword" => KeywordAnalyzer
+    case "porter" => PorterAnalyzer()
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }

@@ -111,6 +111,35 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
   def search(q: Query, k: Int, sim: Similarity, useWand: Boolean = true): Array[ScoredDoc] =
     searchBatch(Seq("q" -> q), k, sim, useWand)("q")
 
+  /** Time-budgeted search: each segment task stops collecting once its
+    * share of `timeoutMs` elapses and returns what it gathered — partial
+    * top-k plus a timed-out flag (the reference's TimeLimitingCollector
+    * semantics, applied per task: each executor enforces the budget with
+    * its own clock). */
+  def searchWithTimeout(q0: Query, k: Int, sim: Similarity,
+      timeoutMs: Long): (Array[ScoredDoc], Boolean) = {
+    val q = Query.rewrite(expandQueries(Seq("q" -> q0)).head._2)
+    val dfMap = globalDf(Query.allTerms(q))
+    val sc = spark.sparkContext
+    val bcDf = sc.broadcast(dfMap)
+    val bcQ = sc.broadcast(q)
+    val st = stats
+    val budgetNanos = timeoutMs * 1000000L
+    val perSegment = sc.parallelize(segDirs, math.max(1, segDirs.size))
+      .map { dir =>
+        val reader = ReaderCache.get(dir)
+        val df = (t: String) => bcDf.value.getOrElse(t, 0L)
+        SegmentSearch.topKTimed(reader, bcQ.value, k, sim, st, df,
+          useWand = false, System.nanoTime() + budgetNanos)
+      }
+      .collect()
+    bcQ.destroy()
+    bcDf.destroy()
+    val hits = perSegment.iterator.flatMap(_._1).toArray
+      .sortBy(h => (-h.score, h.docId)).take(k)
+    (hits, perSegment.exists(_._2))
+  }
+
   /** Expand multi-term nodes against the distributed term dictionary: one
     * job collects each node's matching terms per segment (seek + bounded
     * scan), the driver unions them and rewrites the plan. Per-node match

@@ -280,26 +280,42 @@ object SegmentSearch {
 
   /** Top-k over one segment. Returns GLOBAL docIds. */
   def topK(reader: SegmentReader, q0: Query, k: Int, sim: Similarity,
-      stats: CorpusStats, df: String => Long, useWand: Boolean = true): Array[ScoredDoc] = {
-    if (k <= 0) return Array.empty
+      stats: CorpusStats, df: String => Long, useWand: Boolean = true): Array[ScoredDoc] =
+    topKTimed(reader, q0, k, sim, stats, df, useWand, Long.MaxValue)._1
+
+  /** As [[topK]], but stops collecting once `deadlineNanos` passes
+    * (System.nanoTime clock) and reports whether it timed out — the
+    * reference's TimeLimitingCollector
+    * (/root/reference/src/core/search/TimeLimitingCollector.cpp: the
+    * collector aborts collection past the budget; hits gathered so far are
+    * the partial result). The deadline is checked every 256 collected
+    * docs. */
+  def topKTimed(reader: SegmentReader, q0: Query, k: Int, sim: Similarity,
+      stats: CorpusStats, df: String => Long, useWand: Boolean,
+      deadlineNanos: Long): (Array[ScoredDoc], Boolean) = {
+    if (k <= 0) return (Array.empty, false)
     val q = Query.rewrite(q0)
     val collector = new TopKCollector(k)
     val docBase = reader.meta.docBase
+    var timedOut = false
 
     Query.flatOrTerms(q) match {
-      case Some(terms) if useWand && sim.coord(1, 2) == 1f =>
+      case Some(terms) if useWand && sim.coord(1, 2) == 1f && deadlineNanos == Long.MaxValue =>
         wandTopK(reader, terms, sim, stats, df, collector)
       case _ =>
         val qn = sim.queryNorm(sumOfSquaredWeights(q, sim, stats, df))
+        val timed = deadlineNanos != Long.MaxValue
         scorer(q, reader, sim, stats, df, qn).foreach { s =>
           var d = s.nextDoc()
-          while (d != Scorer.NoMoreDocs) {
+          while (d != Scorer.NoMoreDocs && !timedOut) {
             collector.collect(s.score(), docBase + d)
-            d = s.nextDoc()
+            // reference TimeLimitingCollector checks the budget per collect
+            if (timed && System.nanoTime() > deadlineNanos) timedOut = true
+            else d = s.nextDoc()
           }
         }
     }
-    collector.results()
+    (collector.results(), timedOut)
   }
 
   /** Block-Max WAND (Ding & Suel, WSDM 2011; an extension the north rule

@@ -153,4 +153,72 @@ class AnalysisSpec extends AnyFunSuite {
     assert(terms(SimpleAnalyzer, "a b c d e") == Seq("a", "b", "c", "d", "e"))
     assert(terms(SimpleAnalyzer, "Foo2Bar, baz!") == Seq("foo", "bar", "baz"))
   }
+
+  test("porter stemmer: published algorithm goldens (Porter 1980 + departures)") {
+    val st = new PorterStemmer
+    val goldens = Seq(
+      // step 1
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+      "agreed" -> "agre", "plastered" -> "plaster", "bled" -> "bled",
+      "motoring" -> "motor", "sing" -> "sing", "conflated" -> "conflat",
+      "troubled" -> "troubl", "sized" -> "size", "hopping" -> "hop",
+      "tanned" -> "tan", "falling" -> "fall", "hissing" -> "hiss",
+      "fizzed" -> "fizz", "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky",
+      // step 2 (incl. the reference's bli/logi departures)
+      "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "valenci" -> "valenc", "hesitanci" -> "hesit",
+      "digitizer" -> "digit", "radically" -> "radic",
+      "differently" -> "differ", "vileli" -> "vile", "analogousli" -> "analog",
+      "vietnamization" -> "vietnam", "predication" -> "predic",
+      "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "callousness" -> "callous", "formaliti" -> "formal",
+      "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+      // step 3
+      "triplicate" -> "triplic", "formative" -> "form", "formalize" -> "formal",
+      "electriciti" -> "electr", "electrical" -> "electr",
+      "hopeful" -> "hope", "goodness" -> "good",
+      // step 4
+      "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+      "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "irritant" -> "irrit", "replacement" -> "replac",
+      "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "communism" -> "commun", "activate" -> "activ",
+      "angulariti" -> "angular", "homologous" -> "homolog",
+      "effective" -> "effect", "bowdlerize" -> "bowdler",
+      // step 5
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll",
+      // length guard (DEPARTURE): 1-2 char words untouched
+      "is" -> "is", "be" -> "be", "as" -> "as")
+    goldens.foreach { case (in, out) =>
+      assert(st.stem(in) == out, s"stem($in) = ${st.stem(in)}, expected $out")
+    }
+  }
+
+  test("porter analyzer chain + keyword analyzer") {
+    assert(terms(PorterAnalyzer(), "The Dogs are Running quickly")
+      == Seq("dog", "run", "quickli"))
+    assert(terms(KeywordAnalyzer, "Exact Match-ID 42") == Seq("Exact Match-ID 42"))
+    assert(terms(KeywordAnalyzer, "") == Nil)
+    assert(Analyzer.byName("porter").name == "porter")
+    assert(Analyzer.byName("keyword").name == "keyword")
+  }
+
+  test("length filter and ascii folding") {
+    val toks = Filters.lengthFilter(2, 5)(WhitespaceAnalyzer.analyze("a ab abc abcdef")).toSeq
+    assert(toks.map(_.term) == Seq("ab", "abc"))
+    def fold(s: String): String =
+      Filters.asciiFoldingFilter(Iterator(Token(s, 1, 0, s.length, 0))).next().term
+    assert(fold("café") == "cafe")
+    assert(fold("über") == "uber")
+    assert(fold("ñandú") == "nandu")
+    assert(fold("Ærø") == "AEro")
+    assert(fold("straße") == "strasse")
+    assert(fold("łódź") == "lodz")
+    assert(fold("plain") == "plain")
+  }
 }
