@@ -30,6 +30,14 @@ final class ByteWriter(initial: Int = 256) {
 
   def writeByte(b: Byte): Unit = { ensure(1); buf(len) = b; len += 1 }
 
+  /** Fixed-width big-endian long (random-access offset tables). */
+  def writeLongBE(v: Long): Unit = {
+    ensure(8)
+    var i = 7
+    while (i >= 0) { buf(len + (7 - i)) = ((v >>> (8 * i)) & 0xff).toByte; i -= 1 }
+    len += 8
+  }
+
   def writeBytes(bs: Array[Byte], off: Int, n: Int): Unit = {
     ensure(n); System.arraycopy(bs, off, buf, len, n); len += n
   }
@@ -68,6 +76,8 @@ final class ByteReader(private val bb: ByteBuffer) {
   def remaining: Int = bb.remaining()
 
   def readByte(): Byte = bb.get()
+
+  def readLongBE(): Long = bb.getLong()
 
   def readBytes(n: Int): Array[Byte] = {
     val out = new Array[Byte](n); bb.get(out); out

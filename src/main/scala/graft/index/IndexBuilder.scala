@@ -28,6 +28,9 @@ final case class IndexConfig(
     buildPartitions: Int = 0,
     /** Also persist a (docId, url) map table next to the index. */
     writeDocMap: Boolean = true,
+    /** Store per-doc term vectors (doc-ordered sidecar; invert mode only —
+      * the sort-shuffle path never sees a whole doc at once). */
+    storeTermVectors: Boolean = false,
     /** "invert" (default): shuffle raw docs by segId, invert each segment
       * in task RAM (the reference's DocumentsWriter architecture; memory
       * bounded by docsPerSegment). "sortshuffle": shuffle posting rows
@@ -156,6 +159,9 @@ object IndexBuilder {
       val analyzerName = cfg.analyzer
       val totalDocs = numDocs
 
+      require(!cfg.storeTermVectors || cfg.buildMode == "invert",
+        "term vectors require buildMode=invert")
+      val storeVecs = cfg.storeTermVectors
       val metas: Seq[SegmentMeta] = if (cfg.buildMode == "invert") {
         // (3a) DEFAULT "invert" mode — the reference's own architecture
         // (in-RAM inversion per segment, DocumentsWriter.cpp) re-expressed:
@@ -177,7 +183,8 @@ object IndexBuilder {
         todo.map { case (docId, _, text) => ((segIdOf(docId, dps), docId), text) }
           .repartitionAndSortWithinPartitions(partitioner)
           .mapPartitions { it =>
-            invertPartitionSegments(it, indexDir, analyzerName, dps, totalDocs, posStore)
+            invertPartitionSegments(it, indexDir, analyzerName, dps, totalDocs, posStore,
+              storeVectors = storeVecs)
           }.collect().toSeq
       } else {
         // (3b) "sortshuffle" mode — posting rows through one doc-range-
@@ -278,7 +285,8 @@ object IndexBuilder {
       numDocs: Long,
       storePositions: Boolean,
       segIdOffset: Int = 0,
-      docIdOffset: Long = 0L): Iterator[SegmentMeta] = {
+      docIdOffset: Long = 0L,
+      storeVectors: Boolean = false): Iterator[SegmentMeta] = {
     val analyzer = Analyzer.byName(analyzerName)
     val metas = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
 
@@ -318,13 +326,17 @@ object IndexBuilder {
         curSeg = segId
         docBase = docIdOffset + (segId.toLong - segIdOffset) * docsPerSegment
         val docCount = math.min(docsPerSegment.toLong, docIdOffset + numDocs - docBase).toInt
-        writer = new SegmentWriter(indexDir, segId, docBase, docCount, analyzerName, storePositions)
+        writer = new SegmentWriter(indexDir, segId, docBase, docCount, analyzerName,
+          storePositions, storeVectors)
         inv = new java.util.HashMap[String, TermBuf]()
       }
       val localDoc = (docId - docBase).toInt
-      // analyze + per-doc tf directly into the segment inversion
+      // analyze + per-doc tf directly into the segment inversion; when term
+      // vectors are on, also track this doc's own term map for the sidecar
       var pos = -1
       var len = 0
+      val docMap: java.util.TreeMap[String, IntBuf] =
+        if (storeVectors) new java.util.TreeMap[String, IntBuf]() else null
       val toks = analyzer.analyze(if (text == null) "" else text)
       while (toks.hasNext) {
         val tok = toks.next()
@@ -340,6 +352,27 @@ object IndexBuilder {
           if (tb.positions == null) tb.positions = new IntBuf(4)
           tb.positions.add(pos)
         }
+        if (storeVectors) {
+          var vb = docMap.get(tok.term)
+          if (vb == null) { vb = new IntBuf(4); docMap.put(tok.term, vb) }
+          vb.add(pos)
+        }
+      }
+      if (storeVectors) {
+        val n = docMap.size()
+        val terms = new Array[String](n)
+        val freqs = new Array[Int](n)
+        val positions = new Array[Array[Int]](n)
+        val eit = docMap.entrySet().iterator()
+        var i = 0
+        while (eit.hasNext) {
+          val e = eit.next()
+          terms(i) = e.getKey
+          freqs(i) = e.getValue.n
+          positions(i) = java.util.Arrays.copyOf(e.getValue.arr, e.getValue.n)
+          i += 1
+        }
+        writer.addDocVector(localDoc, terms, freqs, positions)
       }
       writer.addDocLength(localDoc, len)
     }

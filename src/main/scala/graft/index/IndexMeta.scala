@@ -45,13 +45,15 @@ object IndexMetaIO {
     w.writeVLong(m.bytes)
     w.writeString(m.analyzer)
     w.writeByte(if (m.hasPositions) 1 else 0)
+    w.writeByte(if (m.hasVectors) 1 else 0)
     w.toArray
   }
 
   def decodeSegment(bytes: Array[Byte]): SegmentMeta = {
     val r = new ByteReader(bytes)
     SegmentMeta(r.readVInt(), r.readVLong(), r.readVInt(), r.readVLong(),
-      r.readVInt(), r.readVLong(), r.readVLong(), r.readString(), r.readByte() == 1)
+      r.readVInt(), r.readVLong(), r.readVLong(), r.readString(), r.readByte() == 1,
+      r.remaining > 0 && r.readByte() == 1)
   }
 
   private def jsonStr(s: String): String =
@@ -66,7 +68,8 @@ object IndexMetaIO {
     s"""{"segId":${m.segId},"docBase":${m.docBase},"docCount":${m.docCount},""" +
       s""""sumDocLength":${m.sumDocLength},"termCount":${m.termCount},""" +
       s""""postingCount":${m.postingCount},"bytes":${m.bytes},""" +
-      s""""analyzer":${jsonStr(m.analyzer)},"hasPositions":${m.hasPositions}}"""
+      s""""analyzer":${jsonStr(m.analyzer)},"hasPositions":${m.hasPositions},""" +
+      s""""hasVectors":${m.hasVectors}}"""
 
   /** Write the driver-side commit snapshot: human-readable lineage JSON +
     * a binary twin (.segs) that readers load authoritatively — so a crash

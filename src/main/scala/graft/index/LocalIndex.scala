@@ -12,7 +12,8 @@ object LocalIndex {
 
   /** docs = (docId, text) with dense ids 0..n-1 in order. */
   def build(indexDir: String, docs: Seq[(Long, String)], analyzerName: String,
-      docsPerSegment: Int = Int.MaxValue, storePositions: Boolean = true): IndexMeta = {
+      docsPerSegment: Int = Int.MaxValue, storePositions: Boolean = true,
+      storeTermVectors: Boolean = false): IndexMeta = {
     new java.io.File(indexDir).mkdirs()
     val analyzer = Analyzer.byName(analyzerName)
     val numDocs = docs.size.toLong
@@ -31,7 +32,18 @@ object LocalIndex {
         curSeg = r.segId
         docBase = curSeg.toLong * docsPerSegment
         val docCount = math.min(docsPerSegment.toLong, numDocs - docBase).toInt
-        writer = new SegmentWriter(indexDir, curSeg, docBase, docCount, analyzerName, storePositions)
+        writer = new SegmentWriter(indexDir, curSeg, docBase, docCount, analyzerName,
+          storePositions, storeTermVectors)
+        if (storeTermVectors) {
+          // doc-ordered vector sidecar from each doc's own analysis
+          docs.filter(d => d._1 >= docBase && d._1 < docBase + docCount)
+            .sortBy(_._1).foreach { case (id, text) =>
+              val entries = IndexBuilder.tokenizeDoc(analyzer, curSeg, id, text, storePositions)
+                .filter(_.term.nonEmpty).toArray.sortBy(_.term)
+              writer.addDocVector((id - docBase).toInt, entries.map(_.term),
+                entries.map(_.freq), entries.map(_.positions))
+            }
+        }
       }
       val localDoc = (r.docId - docBase).toInt
       if (r.term.isEmpty) writer.addDocLength(localDoc, r.dl)

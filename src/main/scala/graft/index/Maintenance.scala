@@ -78,14 +78,20 @@ object Maintenance {
     val docCount = readers.map(_.meta.docCount).sum
     val analyzer = readers.head.meta.analyzer
     val hasPos = readers.head.meta.hasPositions
-    val writer = new SegmentWriter(indexDir, newSegId, newBase, docCount, analyzer, hasPos)
+    val hasVecs = readers.forall(_.meta.hasVectors)
+    val writer = new SegmentWriter(indexDir, newSegId, newBase, docCount, analyzer, hasPos, hasVecs)
 
-    // norms/doclens concatenate
+    // norms/doclens (and term vectors, if all inputs carry them) concatenate
     var off = 0
     readers.foreach { r =>
       var i = 0
       while (i < r.meta.docCount) {
         writer.addDocLength(off + i, r.doclens(i))
+        if (hasVecs) {
+          val entries = r.termVector(i).get
+          writer.addDocVector(off + i, entries.map(_._1).toArray,
+            entries.map(_._2).toArray, entries.map(_._3).toArray)
+        }
         i += 1
       }
       off += r.meta.docCount

@@ -24,7 +24,8 @@ final case class SegmentMeta(
     postingCount: Long,
     bytes: Long,
     analyzer: String,
-    hasPositions: Boolean) extends Serializable
+    hasPositions: Boolean,
+    hasVectors: Boolean = false) extends Serializable
 
 /** One term-dictionary entry (df + term-level max-impact metadata +
   * postings location). */
@@ -74,7 +75,8 @@ final class SegmentWriter(
     docBase: Long,
     docCount: Int,
     analyzerName: String,
-    storePositions: Boolean) {
+    storePositions: Boolean,
+    storeVectors: Boolean = false) {
 
   import SegmentFormat._
 
@@ -88,6 +90,11 @@ final class SegmentWriter(
   private val termsOut = new ByteWriter(1 << 16)
   private val termIdxOut = new ByteWriter(1 << 12)
   private val postingsOut = new ByteWriter(1 << 20)
+  // term-vector sidecar (doc-ordered; reference TermVectorsWriter analog):
+  // vectors.bin entries + fixed-width offsets for random access
+  private val vecOut = if (storeVectors) new ByteWriter(1 << 16) else null
+  private val vecOffsets = if (storeVectors) new Array[Long](docCount + 1) else null
+  private var vecNextDoc = 0
 
   private var termCount = 0
   private var postingCount = 0L
@@ -114,6 +121,40 @@ final class SegmentWriter(
     norms(localDoc) = SmallFloat.encodeNorm(dl)
     doclens(localDoc) = dl
     sumDl += dl
+  }
+
+  /** Doc-ordered term vector: the doc's (term, freq, positions) entries,
+    * term-sorted. Docs may be skipped (empty vectors are filled in); must
+    * be called in ascending localDoc order, independently of addPosting's
+    * term order (separate sidecar — reference stores vectors at document
+    * processing time, TermVectorsWriter). */
+  def addDocVector(localDoc: Int, terms: Array[String], freqs: Array[Int],
+      positions: Array[Array[Int]]): Unit = {
+    require(storeVectors, "writer built without storeVectors")
+    require(localDoc >= vecNextDoc, s"vectors out of order: $localDoc < $vecNextDoc")
+    while (vecNextDoc < localDoc) { // fill skipped docs with empty vectors
+      vecOffsets(vecNextDoc) = vecOut.size.toLong
+      vecOut.writeVInt(0)
+      vecNextDoc += 1
+    }
+    vecOffsets(localDoc) = vecOut.size.toLong
+    vecOut.writeVInt(terms.length)
+    var i = 0
+    while (i < terms.length) {
+      vecOut.writeString(terms(i))
+      vecOut.writeVInt(freqs(i))
+      if (storePositions) {
+        var prev = 0
+        var j = 0
+        while (j < freqs(i)) {
+          vecOut.writeVInt(positions(i)(j) - prev)
+          prev = positions(i)(j)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    vecNextDoc = localDoc + 1
   }
 
   /** Terms must arrive in ascending order; docs ascending within a term. */
@@ -274,10 +315,23 @@ final class SegmentWriter(
     writeFile(new File(tmpDir, "terms.bin"), termsOut.toArray)
     writeFile(new File(tmpDir, "terms.idx"), termIdxOut.toArray)
     writeFile(new File(tmpDir, "postings.bin"), postingsOut.toArray)
+    if (storeVectors) {
+      while (vecNextDoc < docCount) { // trailing empty vectors
+        vecOffsets(vecNextDoc) = vecOut.size.toLong
+        vecOut.writeVInt(0)
+        vecNextDoc += 1
+      }
+      vecOffsets(docCount) = vecOut.size.toLong
+      writeFile(new File(tmpDir, "vectors.bin"), vecOut.toArray)
+      val vi = new ByteWriter(8 * (docCount + 1))
+      var d = 0
+      while (d <= docCount) { vi.writeLongBE(vecOffsets(d)); d += 1 }
+      writeFile(new File(tmpDir, "vectors.idx"), vi.toArray)
+    }
 
     val bytes = tmpDir.listFiles().map(_.length()).sum
     val meta = SegmentMeta(segId, docBase, docCount, sumDl, termCount,
-      postingCount, bytes, analyzerName, storePositions)
+      postingCount, bytes, analyzerName, storePositions, storeVectors)
     writeFile(new File(tmpDir, "meta.bin"), IndexMetaIO.encodeSegment(meta))
 
     // atomic publish (idempotent on re-run: replace any half-written prior)
@@ -331,6 +385,43 @@ final class SegmentReader(val dir: File) {
     }
     (ts.result(), to.result(), po.result())
   }
+
+  /** Term vector of one doc: (term, freq, positions) entries, term-sorted.
+    * None when the segment was built without vectors. Random access via the
+    * fixed-width offset table (reference TermVectorsReader analog). */
+  def termVector(localDoc: Int): Option[Seq[(String, Int, Array[Int])]] = {
+    if (vectorsBuf == null) return None
+    require(localDoc >= 0 && localDoc < meta.docCount, s"doc $localDoc out of range")
+    val idx = new ByteReader(vectorsIdxBuf.duplicate())
+    idx.seek(localDoc * 8)
+    val off = idx.readLongBE()
+    val r = new ByteReader(vectorsBuf.duplicate())
+    r.seek(off.toInt)
+    val n = r.readVInt()
+    val out = Vector.newBuilder[(String, Int, Array[Int])]
+    var i = 0
+    while (i < n) {
+      val term = r.readString()
+      val freq = r.readVInt()
+      val positions =
+        if (!meta.hasPositions) Array.emptyIntArray
+        else {
+          val ps = new Array[Int](freq)
+          var prev = 0
+          var j = 0
+          while (j < freq) { prev += r.readVInt(); ps(j) = prev; j += 1 }
+          ps
+        }
+      out += ((term, freq, positions))
+      i += 1
+    }
+    Some(out.result())
+  }
+
+  private lazy val vectorsBuf: java.nio.ByteBuffer =
+    if (meta.hasVectors) mmap(new File(dir, "vectors.bin")) else null
+  private lazy val vectorsIdxBuf: java.nio.ByteBuffer =
+    if (meta.hasVectors) mmap(new File(dir, "vectors.idx")) else null
 
   private def mmap(f: File): java.nio.ByteBuffer = {
     val ch = FileChannel.open(f.toPath, StandardOpenOption.READ)

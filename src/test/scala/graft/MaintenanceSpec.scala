@@ -75,6 +75,47 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.checkIndex(spark, dir).forall(_.ok))
   }
 
+  test("term vectors: stored per doc, match analysis, survive merge") {
+    val ts = texts(90)
+    val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val dir = Files.createTempDirectory("graft-tv").toString
+    LocalIndex.build(dir, docs, "standard", docsPerSegment = 30, storeTermVectors = true)
+    val bf = graft.search.BruteForce.analyzeCorpus(graft.analysis.StandardAnalyzer(), docs)
+
+    def check(reader: SegmentReader, localDoc: Int, globalDoc: Int): Unit = {
+      val vec = reader.termVector(localDoc).get
+      val expected = bf(globalDoc).termPositions.toSeq.sortBy(_._1)
+      assert(vec.map(_._1) == expected.map(_._1), s"doc $globalDoc terms")
+      vec.zip(expected).foreach { case ((t, f, ps), (et, eps)) =>
+        assert(f == eps.length, s"doc $globalDoc term $t freq")
+        assert(ps.toSeq == eps.toSeq, s"doc $globalDoc term $t positions")
+      }
+    }
+    val r1 = new SegmentReader(new File(dir, SegmentFormat.segDirName(1)))
+    assert(r1.meta.hasVectors)
+    (0 until 30).foreach(i => check(r1, i, 30 + i))
+
+    // merge keeps vectors with rebased doc ids
+    Maintenance.mergeSegments(dir, Seq(0, 1, 2), newSegId = 3)
+    val rm = new SegmentReader(new File(dir, SegmentFormat.segDirName(3)))
+    assert(rm.meta.hasVectors)
+    (0 until 90 by 7).foreach(i => check(rm, i, i))
+
+    // distributed invert-mode build stores the same vectors
+    val corpus = SyntheticCorpus.generate(spark, 128, seed = 21, avgLen = 25, vocab = 60)
+    val ddir = Files.createTempDirectory("graft-tv-dist").toString
+    IndexBuilder.build(spark, corpus,
+      IndexConfig(ddir, docsPerSegment = 64, writeDocMap = false, storeTermVectors = true))
+    val pages = SyntheticCorpus.localPages(128, seed = 21, avgLen = 25, vocab = 60).sortBy(_.url)
+    val bfd = graft.search.BruteForce.analyzeCorpus(graft.analysis.StandardAnalyzer(),
+      pages.zipWithIndex.map { case (p, i) => (i.toLong, p.text) })
+    val rd = new SegmentReader(new File(ddir, SegmentFormat.segDirName(1)))
+    val vec = rd.termVector(5).get
+    val exp = bfd(64 + 5).termPositions.toSeq.sortBy(_._1)
+    assert(vec.map(_._1) == exp.map(_._1))
+    assert(vec.map(_._3.toSeq) == exp.map(_._2.toSeq))
+  }
+
   test("build resume after compaction does not double-index merged ranges") {
     val dir = Files.createTempDirectory("graft-resume-compact").toString
     val corpus = SyntheticCorpus.generate(spark, 256, seed = 33, avgLen = 25, vocab = 80)
