@@ -45,6 +45,21 @@ object Filters {
     }
   }
 
+  /** Split "term|payload" tokens: text before the delimiter stays the
+    * term, the float after it becomes a 4-byte big-endian payload (the
+    * DelimitedPayloadTokenFilter + FloatEncoder pattern the reference's
+    * payload tests build by hand — PayloadHelper.cpp). */
+  def delimitedPayloadFilter(delimiter: Char = '|')(in: Iterator[Token]): Iterator[Token] =
+    in.map { t =>
+      val i = t.term.lastIndexOf(delimiter.toInt)
+      if (i < 0) t
+      else scala.util.Try(t.term.substring(i + 1).toFloat).toOption match {
+        case Some(v) =>
+          t.copy(term = t.term.substring(0, i), payload = PayloadCodec.encodeFloat(v))
+        case None => t // not a float suffix: keep the token verbatim
+      }
+    }
+
   /** Porter-stem each token (reference PorterStemFilter.cpp:19-33). */
   def porterStemFilter(in: Iterator[Token]): Iterator[Token] = {
     val stemmer = new PorterStemmer
@@ -203,6 +218,27 @@ final case class PorterAnalyzer(
   override def name: String = "porter"
 }
 
+/** 4-byte big-endian float payload codec (Lucene PayloadHelper layout). */
+object PayloadCodec {
+  def encodeFloat(v: Float): Array[Byte] = {
+    val bits = java.lang.Float.floatToIntBits(v)
+    Array(((bits >>> 24) & 0xff).toByte, ((bits >>> 16) & 0xff).toByte,
+      ((bits >>> 8) & 0xff).toByte, (bits & 0xff).toByte)
+  }
+  def decodeFloat(p: Array[Byte]): Float = {
+    if (p == null || p.length < 4) return 1f
+    java.lang.Float.intBitsToFloat(
+      ((p(0) & 0xff) << 24) | ((p(1) & 0xff) << 16) | ((p(2) & 0xff) << 8) | (p(3) & 0xff))
+  }
+}
+
+/** Whitespace tokens with "term|float" payloads — the payload-test chain. */
+case object DelimitedPayloadAnalyzer extends Analyzer {
+  override def analyze(text: String): Iterator[Token] =
+    Filters.delimitedPayloadFilter()(WhitespaceAnalyzer.analyze(text))
+  override def name: String = "delimited"
+}
+
 object Analyzer {
   /** Resolve an analyzer by the name stored in index metadata. */
   def byName(name: String): Analyzer = name match {
@@ -211,6 +247,7 @@ object Analyzer {
     case "simple" => SimpleAnalyzer
     case "keyword" => KeywordAnalyzer
     case "porter" => PorterAnalyzer()
+    case "delimited" => DelimitedPayloadAnalyzer
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }

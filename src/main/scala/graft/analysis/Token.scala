@@ -16,7 +16,8 @@ package graft.analysis
   * @param end     end character offset (exclusive)
   * @param tpe     token type id (TokenType constants)
   */
-final case class Token(term: String, posIncr: Int, start: Int, end: Int, tpe: Int)
+final case class Token(term: String, posIncr: Int, start: Int, end: Int, tpe: Int,
+    payload: Array[Byte] = null)
 
 /** Token type ids — same numbering as the reference
   * (/root/reference/src/core/analysis/standard/StandardTokenizer.cpp:18-28). */

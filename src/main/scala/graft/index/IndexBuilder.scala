@@ -14,7 +14,8 @@ final case class PostingRow(
     docId: Long,
     freq: Int,
     positions: Array[Int],
-    dl: Int)
+    dl: Int,
+    payloads: Array[Array[Byte]] = null)
 
 final case class IndexConfig(
     indexDir: String,
@@ -31,6 +32,9 @@ final case class IndexConfig(
     /** Store per-doc term vectors (doc-ordered sidecar; invert mode only —
       * the sort-shuffle path never sees a whole doc at once). */
     storeTermVectors: Boolean = false,
+    /** Store per-position payloads (requires storePositions and a
+      * payload-producing analyzer, e.g. "delimited"; invert mode only). */
+    storePayloads: Boolean = false,
     /** "invert" (default): shuffle raw docs by segId, invert each segment
       * in task RAM (the reference's DocumentsWriter architecture; memory
       * bounded by docsPerSegment). "sortshuffle": shuffle posting rows
@@ -161,7 +165,10 @@ object IndexBuilder {
 
       require(!cfg.storeTermVectors || cfg.buildMode == "invert",
         "term vectors require buildMode=invert")
+      require(!cfg.storePayloads || (cfg.buildMode == "invert" && cfg.storePositions),
+        "payloads require buildMode=invert and storePositions")
       val storeVecs = cfg.storeTermVectors
+      val storePays = cfg.storePayloads
       val metas: Seq[SegmentMeta] = if (cfg.buildMode == "invert") {
         // (3a) DEFAULT "invert" mode — the reference's own architecture
         // (in-RAM inversion per segment, DocumentsWriter.cpp) re-expressed:
@@ -184,7 +191,7 @@ object IndexBuilder {
           .repartitionAndSortWithinPartitions(partitioner)
           .mapPartitions { it =>
             invertPartitionSegments(it, indexDir, analyzerName, dps, totalDocs, posStore,
-              storeVectors = storeVecs)
+              storeVectors = storeVecs, storePayloads = storePays)
           }.collect().toSeq
       } else {
         // (3b) "sortshuffle" mode — posting rows through one doc-range-
@@ -234,8 +241,10 @@ object IndexBuilder {
     * token's positionIncrement (DocInverterPerField.cpp:119-176); doc length
     * counts emitted tokens only (FieldInvertState length semantics). */
   def tokenizeDoc(analyzer: Analyzer, segId: Int, docId: Long, text: String,
-      storePositions: Boolean): Iterator[PostingRow] = {
+      storePositions: Boolean, storePayloads: Boolean = false): Iterator[PostingRow] = {
     val tf = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    val pf: java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Array[Byte]]] =
+      if (storePayloads) new java.util.HashMap() else null
     var pos = -1
     var length = 0
     val toks = analyzer.analyze(if (text == null) "" else text)
@@ -246,6 +255,11 @@ object IndexBuilder {
       var buf = tf.get(t.term)
       if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Int](4); tf.put(t.term, buf) }
       buf += pos
+      if (storePayloads) {
+        var pb = pf.get(t.term)
+        if (pb == null) { pb = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4); pf.put(t.term, pb) }
+        pb += t.payload
+      }
     }
     val out = new scala.collection.mutable.ArrayBuffer[PostingRow](tf.size + 1)
     out += PostingRow(segId, "", docId, 0, Array.emptyIntArray, length)
@@ -253,7 +267,8 @@ object IndexBuilder {
     while (it.hasNext) {
       val e = it.next()
       val positions = if (storePositions) e.getValue.toArray else Array.emptyIntArray
-      out += PostingRow(segId, e.getKey, docId, e.getValue.size, positions, 0)
+      val payloads = if (storePayloads) pf.get(e.getKey).toArray else null
+      out += PostingRow(segId, e.getKey, docId, e.getValue.size, positions, 0, payloads)
     }
     out.iterator
   }
@@ -272,6 +287,7 @@ object IndexBuilder {
     val docs = new IntBuf(4)
     val freqs = new IntBuf(4)
     var positions: IntBuf = null // lazily created when storing positions
+    var payloads: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
   }
 
   /** "invert" mode consumer: docs arrive sorted by (segId, docId); invert
@@ -286,7 +302,8 @@ object IndexBuilder {
       storePositions: Boolean,
       segIdOffset: Int = 0,
       docIdOffset: Long = 0L,
-      storeVectors: Boolean = false): Iterator[SegmentMeta] = {
+      storeVectors: Boolean = false,
+      storePayloads: Boolean = false): Iterator[SegmentMeta] = {
     val analyzer = Analyzer.byName(analyzerName)
     val metas = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
 
@@ -306,9 +323,12 @@ object IndexBuilder {
         var posOff = 0
         while (i < tb.docs.n) {
           val f = tb.freqs.arr(i)
+          val pays =
+            if (tb.payloads == null) null
+            else tb.payloads.slice(posOff, posOff + f).toArray
           writer.addPosting(terms(t), tb.docs.arr(i), f,
             if (storePositions) tb.positions.arr else Array.emptyIntArray,
-            if (storePositions) posOff else 0)
+            if (storePositions) posOff else 0, pays)
           posOff += f
           i += 1
         }
@@ -327,7 +347,7 @@ object IndexBuilder {
         docBase = docIdOffset + (segId.toLong - segIdOffset) * docsPerSegment
         val docCount = math.min(docsPerSegment.toLong, docIdOffset + numDocs - docBase).toInt
         writer = new SegmentWriter(indexDir, segId, docBase, docCount, analyzerName,
-          storePositions, storeVectors)
+          storePositions, storeVectors, storePayloads)
         inv = new java.util.HashMap[String, TermBuf]()
       }
       val localDoc = (docId - docBase).toInt
@@ -351,6 +371,10 @@ object IndexBuilder {
         if (storePositions) {
           if (tb.positions == null) tb.positions = new IntBuf(4)
           tb.positions.add(pos)
+        }
+        if (storePayloads) {
+          if (tb.payloads == null) tb.payloads = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4)
+          tb.payloads += tok.payload
         }
         if (storeVectors) {
           var vb = docMap.get(tok.term)

@@ -46,6 +46,7 @@ object IndexMetaIO {
     w.writeString(m.analyzer)
     w.writeByte(if (m.hasPositions) 1 else 0)
     w.writeByte(if (m.hasVectors) 1 else 0)
+    w.writeByte(if (m.hasPayloads) 1 else 0)
     w.toArray
   }
 
@@ -53,6 +54,7 @@ object IndexMetaIO {
     val r = new ByteReader(bytes)
     SegmentMeta(r.readVInt(), r.readVLong(), r.readVInt(), r.readVLong(),
       r.readVInt(), r.readVLong(), r.readVLong(), r.readString(), r.readByte() == 1,
+      r.remaining > 0 && r.readByte() == 1,
       r.remaining > 0 && r.readByte() == 1)
   }
 
@@ -69,7 +71,7 @@ object IndexMetaIO {
       s""""sumDocLength":${m.sumDocLength},"termCount":${m.termCount},""" +
       s""""postingCount":${m.postingCount},"bytes":${m.bytes},""" +
       s""""analyzer":${jsonStr(m.analyzer)},"hasPositions":${m.hasPositions},""" +
-      s""""hasVectors":${m.hasVectors}}"""
+      s""""hasVectors":${m.hasVectors},"hasPayloads":${m.hasPayloads}}"""
 
   /** Write the driver-side commit snapshot: human-readable lineage JSON +
     * a binary twin (.segs) that readers load authoritatively — so a crash

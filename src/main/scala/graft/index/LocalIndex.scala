@@ -13,13 +13,13 @@ object LocalIndex {
   /** docs = (docId, text) with dense ids 0..n-1 in order. */
   def build(indexDir: String, docs: Seq[(Long, String)], analyzerName: String,
       docsPerSegment: Int = Int.MaxValue, storePositions: Boolean = true,
-      storeTermVectors: Boolean = false): IndexMeta = {
+      storeTermVectors: Boolean = false, storePayloads: Boolean = false): IndexMeta = {
     new java.io.File(indexDir).mkdirs()
     val analyzer = Analyzer.byName(analyzerName)
     val numDocs = docs.size.toLong
     val rows = docs.iterator.flatMap { case (id, text) =>
       IndexBuilder.tokenizeDoc(analyzer, IndexBuilder.segIdOf(id, docsPerSegment),
-        id, text, storePositions)
+        id, text, storePositions, storePayloads)
     }.toVector.sortBy(r => (r.segId, r.term, r.docId))
 
     val metas = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
@@ -33,7 +33,7 @@ object LocalIndex {
         docBase = curSeg.toLong * docsPerSegment
         val docCount = math.min(docsPerSegment.toLong, numDocs - docBase).toInt
         writer = new SegmentWriter(indexDir, curSeg, docBase, docCount, analyzerName,
-          storePositions, storeTermVectors)
+          storePositions, storeTermVectors, storePayloads)
         if (storeTermVectors) {
           // doc-ordered vector sidecar from each doc's own analysis
           docs.filter(d => d._1 >= docBase && d._1 < docBase + docCount)
@@ -47,7 +47,7 @@ object LocalIndex {
       }
       val localDoc = (r.docId - docBase).toInt
       if (r.term.isEmpty) writer.addDocLength(localDoc, r.dl)
-      else writer.addPosting(r.term, localDoc, r.freq, r.positions)
+      else writer.addPosting(r.term, localDoc, r.freq, r.positions, 0, r.payloads)
     }
     if (writer != null) metas += writer.finish()
 

@@ -79,7 +79,9 @@ object Maintenance {
     val analyzer = readers.head.meta.analyzer
     val hasPos = readers.head.meta.hasPositions
     val hasVecs = readers.forall(_.meta.hasVectors)
-    val writer = new SegmentWriter(indexDir, newSegId, newBase, docCount, analyzer, hasPos, hasVecs)
+    val hasPays = readers.forall(_.meta.hasPayloads)
+    val writer = new SegmentWriter(indexDir, newSegId, newBase, docCount, analyzer,
+      hasPos, hasVecs, hasPays)
 
     // norms/doclens (and term vectors, if all inputs carry them) concatenate
     var off = 0
@@ -112,7 +114,8 @@ object Maintenance {
           var d = pi.nextDoc()
           while (d != SegmentFormat.NoMoreDocs) {
             val positions = if (hasPos) pi.positions() else Array.emptyIntArray
-            writer.addPosting(minTerm, bases(i) + d, pi.freq, positions)
+            val pays = if (hasPays) pi.payloads() else null
+            writer.addPosting(minTerm, bases(i) + d, pi.freq, positions, 0, pays)
             d = pi.nextDoc()
           }
         }

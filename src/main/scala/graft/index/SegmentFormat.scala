@@ -25,7 +25,8 @@ final case class SegmentMeta(
     bytes: Long,
     analyzer: String,
     hasPositions: Boolean,
-    hasVectors: Boolean = false) extends Serializable
+    hasVectors: Boolean = false,
+    hasPayloads: Boolean = false) extends Serializable
 
 /** One term-dictionary entry (df + term-level max-impact metadata +
   * postings location). */
@@ -76,7 +77,10 @@ final class SegmentWriter(
     docCount: Int,
     analyzerName: String,
     storePositions: Boolean,
-    storeVectors: Boolean = false) {
+    storeVectors: Boolean = false,
+    storePayloads: Boolean = false) {
+
+  require(!storePayloads || storePositions, "payloads require positions")
 
   import SegmentFormat._
 
@@ -161,10 +165,18 @@ final class SegmentWriter(
   def addPosting(term: String, localDoc: Int, freq: Int, positions: Array[Int]): Unit =
     addPosting(term, localDoc, freq, positions, 0)
 
-  /** As above, reading `freq` positions from `positions(posOff…)` (lets the
-    * in-RAM inverter pass one shared buffer without slicing). */
   def addPosting(term: String, localDoc: Int, freq: Int, positions: Array[Int],
-      posOff: Int): Unit = {
+      posOff: Int): Unit =
+    addPosting(term, localDoc, freq, positions, posOff, null)
+
+  /** As above, reading `freq` positions from `positions(posOff…)` (lets the
+    * in-RAM inverter pass one shared buffer without slicing); `payloads`
+    * (parallel to positions, entries may be null) is stored when the
+    * segment is payload-enabled — per position: VInt len + bytes, the
+    * reference's prox-stream payload layout re-expressed
+    * (/root/reference/src/core/index/FormatPostingsPositionsWriter.cpp). */
+  def addPosting(term: String, localDoc: Int, freq: Int, positions: Array[Int],
+      posOff: Int, payloads: Array[Array[Byte]]): Unit = {
     if (curTerm == null || term != curTerm) {
       if (curTerm != null) endTerm()
       startTerm(term)
@@ -175,7 +187,16 @@ final class SegmentWriter(
     if (storePositions) {
       var prev = 0
       var i = posOff
-      while (i < posOff + freq) { posBuf.writeVInt(positions(i) - prev); prev = positions(i); i += 1 }
+      while (i < posOff + freq) {
+        posBuf.writeVInt(positions(i) - prev)
+        prev = positions(i)
+        if (storePayloads) {
+          val pay = if (payloads == null) null else payloads(i - posOff)
+          if (pay == null) posBuf.writeVInt(0)
+          else { posBuf.writeVInt(pay.length); posBuf.writeBytes(pay) }
+        }
+        i += 1
+      }
     }
     bufN += 1
     curDf += 1
@@ -331,7 +352,7 @@ final class SegmentWriter(
 
     val bytes = tmpDir.listFiles().map(_.length()).sum
     val meta = SegmentMeta(segId, docBase, docCount, sumDl, termCount,
-      postingCount, bytes, analyzerName, storePositions, storeVectors)
+      postingCount, bytes, analyzerName, storePositions, storeVectors, storePayloads)
     writeFile(new File(tmpDir, "meta.bin"), IndexMetaIO.encodeSegment(meta))
 
     // atomic publish (idempotent on re-run: replace any half-written prior)
@@ -544,7 +565,7 @@ final class SegmentReader(val dir: File) {
     }
     new PostingsIterator(
       new ByteReader({ val d = postingsBuf.duplicate(); d.position(ti.postingsOffset.toInt); d }),
-      ti.df, meta.hasPositions, needPositions, skipDocs, skipOffs)
+      ti.df, meta.hasPositions, needPositions, skipDocs, skipOffs, meta.hasPayloads)
   }
 }
 
@@ -560,7 +581,8 @@ final class PostingsIterator(
     filePositions: Boolean,
     needPositions: Boolean,
     skipDocs: Array[Int] = null,
-    skipOffs: Array[Int] = null) {
+    skipOffs: Array[Int] = null,
+    filePayloads: Boolean = false) {
 
   import SegmentFormat._
 
@@ -627,10 +649,45 @@ final class PostingsIterator(
         out = new Array[Int](f)
         var prev = 0
         var j = 0
-        while (j < f) { prev += r.readVInt(); out(j) = prev; j += 1 }
+        while (j < f) {
+          prev += r.readVInt(); out(j) = prev
+          if (filePayloads) r.skip(r.readVInt())
+          j += 1
+        }
       } else {
         var j = 0
-        while (j < f) { r.readVInt(); j += 1 }
+        while (j < f) {
+          r.readVInt()
+          if (filePayloads) r.skip(r.readVInt())
+          j += 1
+        }
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Per-position payloads of the current posting (null entries = none);
+    * requires needPositions on a payload-enabled segment. */
+  def payloads(): Array[Array[Byte]] = {
+    require(filePayloads, "segment stores no payloads")
+    val r = new ByteReader(posBytes)
+    var i = 0
+    var out: Array[Array[Byte]] = null
+    while (i <= blockIdx) {
+      val f = freqs(i)
+      if (i == blockIdx) {
+        out = new Array[Array[Byte]](f)
+        var j = 0
+        while (j < f) {
+          r.readVInt()
+          val n = r.readVInt()
+          out(j) = if (n == 0) null else r.readBytes(n)
+          j += 1
+        }
+      } else {
+        var j = 0
+        while (j < f) { r.readVInt(); r.skip(r.readVInt()); j += 1 }
       }
       i += 1
     }

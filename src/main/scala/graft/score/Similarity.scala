@@ -45,6 +45,10 @@ trait Similarity extends Serializable {
   def phraseWeight(idfSum: Float, boost: Float, queryNorm: Float, stats: CorpusStats): TermWeight
   /** Finish a term weight once the global query norm is known. */
   def normalizedTermWeight(df: Long, boost: Float, queryNorm: Float, stats: CorpusStats): TermWeight
+  /** Score one payload occurrence (reference Similarity.cpp:89 — default
+    * 1.0; override to decode application payload bytes, e.g.
+    * PayloadCodec.decodeFloat). */
+  def scorePayload(payload: Array[Byte]): Float = 1.0f
 }
 
 /** BM25 per the north rule: k1=1.2, b=0.75, Lucene's BM25 idf

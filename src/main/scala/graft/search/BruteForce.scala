@@ -14,7 +14,8 @@ import graft.score.{CorpusStats, Similarity}
   * bitwise, not approximate. */
 object BruteForce {
 
-  final case class Doc(docId: Long, termPositions: Map[String, Array[Int]], dl: Int) {
+  final case class Doc(docId: Long, termPositions: Map[String, Array[Int]], dl: Int,
+      termPayloads: Map[String, Array[Array[Byte]]] = Map.empty) {
     def freq(t: String): Int = termPositions.get(t).map(_.length).getOrElse(0)
   }
 
@@ -23,12 +24,14 @@ object BruteForce {
       var pos = -1
       var len = 0
       val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+      val pm = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Array[Byte]]]
       analyzer.analyze(text).foreach { t =>
         pos += t.posIncr
         len += 1
         m.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += pos
+        pm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]) += t.payload
       }
-      Doc(id, m.view.mapValues(_.toArray).toMap, len)
+      Doc(id, m.view.mapValues(_.toArray).toMap, len, pm.view.mapValues(_.toArray).toMap)
     }
 
   def stats(corpus: Seq[Doc]): CorpusStats =
@@ -111,6 +114,22 @@ object BruteForce {
 
     case CachedQ(inner) =>
       scoreDoc(inner, doc, sim, st, dfm, queryNorm).map(_ => 0.0)
+
+    case PayloadTermQ(t, fn, includeSpanScore, boost) =>
+      val f = doc.freq(t)
+      if (f == 0) None
+      else {
+        val spanFreq = f * Spans.sloppyFreq(0, 1)
+        var payloadScore = fn.init
+        var seen = 0
+        doc.termPayloads.getOrElse(t, Array.empty[Array[Byte]]).foreach { p =>
+          if (p != null) { payloadScore = fn.fold(payloadScore, sim.scorePayload(p).toDouble); seen += 1 }
+        }
+        val pay = fn.docScore(seen, payloadScore)
+        val norm = SmallFloat.encodeNorm(doc.dl)
+        val w = sim.phraseWeight(sim.idf(dfm.getOrElse(t, 0L), st), boost, queryNorm, st)
+        Some(if (includeSpanScore) w.score(spanFreq.toFloat, norm, doc.dl) * pay else pay)
+      }
 
     case ValueSourceQ(src, boost) =>
       Some((boost * queryNorm).toDouble * valueOf(src, doc, st))

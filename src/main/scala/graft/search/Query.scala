@@ -148,6 +148,38 @@ final case class SpanNotQ(include: SpanQuery, exclude: SpanQuery,
 final case class SpanFirstQ(inner: SpanQuery, limit: Int,
     boost: Float = 1f) extends SpanQuery
 
+/** Per-payload aggregation for payload scoring (reference
+  * Min/Max/AveragePayloadFunction.cpp): docScore folds the per-occurrence
+  * payload scores; 1.0 when the doc carried none. */
+sealed trait PayloadFunction extends Serializable {
+  def fold(acc: Double, v: Double): Double
+  def init: Double
+  def docScore(seen: Int, acc: Double): Double
+}
+case object AvgPayloadFunction extends PayloadFunction {
+  override def init: Double = 0.0
+  override def fold(acc: Double, v: Double): Double = acc + v
+  override def docScore(seen: Int, acc: Double): Double = if (seen > 0) acc / seen else 1.0
+}
+case object MinPayloadFunction extends PayloadFunction {
+  override def init: Double = Double.MaxValue
+  override def fold(acc: Double, v: Double): Double = math.min(acc, v)
+  override def docScore(seen: Int, acc: Double): Double = if (seen > 0) acc else 1.0
+}
+case object MaxPayloadFunction extends PayloadFunction {
+  override def init: Double = Double.MinValue
+  override def fold(acc: Double, v: Double): Double = math.max(acc, v)
+  override def docScore(seen: Int, acc: Double): Double = if (seen > 0) acc else 1.0
+}
+
+/** Payload-scored term query (reference PayloadTermQuery.cpp, a
+  * SpanTermQuery whose score multiplies the span score by the folded
+  * per-occurrence payload scores from Similarity.scorePayload):
+  * score = spanScore × fn(payloads), or fn(payloads) alone when
+  * includeSpanScore = false. */
+final case class PayloadTermQ(term: String, fn: PayloadFunction = AvgPayloadFunction,
+    includeSpanScore: Boolean = true, boost: Float = 1f) extends Query
+
 object Query {
 
   /** All terms needing global df (postings terms incl. prohibited).
@@ -164,6 +196,7 @@ object Query {
     case FilteredQ(q2, f) => allTerms(q2) ++ allTerms(f)
     case MultiPhraseQ(slots, _) => slots.flatten.toSet
     case sq: SpanQuery => spanAllTerms(sq)
+    case PayloadTermQ(t, _, _, _) => Set(t)
     // constant-score term sets never touch df — keeping their (possibly
     // 10^4+) terms out of the global-df broadcast is the point
     case _: TermSetQ => Set.empty
@@ -183,6 +216,7 @@ object Query {
 
   def needsPositions(q: Query): Boolean = q match {
     case _: PhraseQ => true
+    case _: PayloadTermQ => true
     case _: MultiPhraseQ => true
     case _: SpanQuery => true
     case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(needsPositions)

@@ -84,6 +84,8 @@ object SegmentSearch {
     case BoolQ(m, s, _, _) => (m ++ s).map(sumOfSquaredWeights(_, sim, stats, df)).sum
     case sq: SpanQuery =>
       sim.phraseWeightSq(Spans.idfSum(sq, sim, stats, df), sq.boost)
+    case PayloadTermQ(t, _, _, boost) => // SpanTermQuery weight algebra
+      sim.phraseWeightSq(sim.idf(df(t), stats), boost)
     case MatchAllQ => sim.constWeightSq(1f)
     case ConstantScoreQ(_, boost) => sim.constWeightSq(boost)
     case TermSetQ(_, boost) => sim.constWeightSq(boost)
@@ -157,6 +159,43 @@ object SegmentSearch {
       Spans.build(sq, reader).map { spans =>
         val w = sim.phraseWeight(Spans.idfSum(sq, sim, stats, df), sq.boost, queryNorm, stats)
         new SpanScorer(spans, w, reader.norms, reader.doclens)
+      }
+
+    case PayloadTermQ(t, fn, includeSpanScore, boost) =>
+      // PayloadTermSpanScorer: span score (sloppyFreq over term spans)
+      // times the folded per-occurrence payload scores
+      // (PayloadTermQuery.cpp:96-150)
+      reader.termInfo(t).map { ti =>
+        val w = sim.phraseWeight(sim.idf(df(t), stats), boost, queryNorm, stats)
+        val pi = reader.postings(ti, needPositions = true)
+        val hasPays = reader.meta.hasPayloads
+        new Scorer {
+          override def docID: Int = pi.docID
+          override def nextDoc(): Int = pi.nextDoc()
+          override def advance(target: Int): Int = pi.advance(target)
+          override def score(): Double = {
+            val d = pi.docID
+            val f = pi.freq
+            val spanFreq = f * Spans.sloppyFreq(0, 1) // term spans have length 1
+            var payloadScore = fn.init
+            var seen = 0
+            if (hasPays) {
+              val ps = pi.payloads()
+              var i = 0
+              while (i < ps.length) {
+                if (ps(i) != null) {
+                  payloadScore = fn.fold(payloadScore, sim.scorePayload(ps(i)).toDouble)
+                  seen += 1
+                }
+                i += 1
+              }
+            }
+            val pay = fn.docScore(seen, payloadScore)
+            if (includeSpanScore)
+              w.score(spanFreq.toFloat, reader.norms(d), reader.doclens(d)) * pay
+            else pay
+          }
+        }
       }
 
     case ValueSourceQ(src, boost) =>

@@ -68,6 +68,74 @@ class ContribSpec extends AnyFunSuite {
     assert(Highlighter.bestFragments(TermQ("zzz"), WhitespaceAnalyzer, "a b c").isEmpty)
   }
 
+  test("payloads: delimited analyzer, payload term scoring, merge-safe") {
+    import graft.analysis.PayloadCodec
+    import graft.score.{BM25Exact, CorpusStats, Similarity, TermWeight}
+    // payload-aware similarity: decode the 4-byte float (the reference
+    // tests override Similarity::scorePayload the same way)
+    object PayloadSim extends Similarity {
+      private val inner = BM25Exact()
+      override def termWeight(df: Long, b: Float, st: CorpusStats): TermWeight = inner.termWeight(df, b, st)
+      override def queryNorm(s: Float): Float = inner.queryNorm(s)
+      override def coord(o: Int, m: Int): Float = inner.coord(o, m)
+      override def queryWeightSq(df: Long, b: Float, st: CorpusStats): Float = inner.queryWeightSq(df, b, st)
+      override def phraseWeightSq(i: Float, b: Float): Float = inner.phraseWeightSq(i, b)
+      override def constWeightSq(b: Float): Float = inner.constWeightSq(b)
+      override def idf(df: Long, st: CorpusStats): Float = inner.idf(df, st)
+      override def phraseWeight(i: Float, b: Float, qn: Float, st: CorpusStats): TermWeight =
+        inner.phraseWeight(i, b, qn, st)
+      override def normalizedTermWeight(df: Long, b: Float, qn: Float, st: CorpusStats): TermWeight =
+        inner.normalizedTermWeight(df, b, qn, st)
+      override def scorePayload(p: Array[Byte]): Float = PayloadCodec.decodeFloat(p)
+    }
+
+    val texts = Seq(
+      "quick|2.0 fox|3.0 fox|1.0",
+      "quick|1.0 dog|4.0",
+      "plain fox here")
+    val dir = Files.createTempDirectory("graft-pay").toString
+    graft.index.LocalIndex.build(dir,
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, "delimited",
+      docsPerSegment = 2, storePayloads = true)
+    val bf = BruteForce.analyzeCorpus(graft.analysis.DelimitedPayloadAnalyzer,
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+    // payload-only scoring: fn over decoded floats; 1.0 when none present
+    def payScore(q: Query): Map[Long, Double] =
+      graft.index.LocalIndex.search(dir, q, 10, PayloadSim).map(h => h.docId -> h.score).toMap
+    val mx = payScore(PayloadTermQ("fox", MaxPayloadFunction, includeSpanScore = false))
+    assert(mx(0L) == 3.0 && mx(2L) == 1.0)
+    val mn = payScore(PayloadTermQ("fox", MinPayloadFunction, includeSpanScore = false))
+    assert(mn(0L) == 1.0 && mn(2L) == 1.0)
+    val av = payScore(PayloadTermQ("fox", AvgPayloadFunction, includeSpanScore = false))
+    assert(av(0L) == 2.0 && av(2L) == 1.0)
+
+    // engine == spec incl. span-score product, across functions
+    for (fn <- Seq[PayloadFunction](AvgPayloadFunction, MinPayloadFunction, MaxPayloadFunction);
+         inc <- Seq(true, false)) {
+      val q = PayloadTermQ("fox", fn, inc)
+      val engine = graft.index.LocalIndex.search(dir, q, 10, PayloadSim)
+      val spec = BruteForce.search(bf, q, 10, PayloadSim)
+      assert(engine.map(_.docId).toSeq == spec.map(_.docId).toSeq, s"fn=$fn inc=$inc")
+      engine.zip(spec).foreach { case (e, s) => assert(e.score == s.score, s"fn=$fn inc=$inc $e $s") }
+    }
+
+    // phrase over a payload segment still reads positions correctly
+    val ph = graft.index.LocalIndex.search(dir, PhraseQ(Seq("quick", "fox")), 10, BM25())
+    assert(ph.map(_.docId).toSeq == Seq(0L))
+
+    // merge keeps payloads
+    graft.index.Maintenance.mergeSegments(dir, Seq(0, 1), newSegId = 2)
+    val reader = new graft.index.SegmentReader(
+      new java.io.File(dir, graft.index.SegmentFormat.segDirName(2)))
+    assert(reader.meta.hasPayloads)
+    val ti = reader.termInfo("fox").get
+    val pi = reader.postings(ti, needPositions = true)
+    assert(pi.nextDoc() == 0)
+    val pays = pi.payloads()
+    assert(pays.map(PayloadCodec.decodeFloat).toSeq == Seq(3.0f, 1.0f))
+  }
+
   test("time-limited search: immediate deadline times out with partial results") {
     val dir = Files.createTempDirectory("graft-tlc").toString
     val corpus = SyntheticCorpus.generate(spark, 400, seed = 7, avgLen = 30, vocab = 50)
