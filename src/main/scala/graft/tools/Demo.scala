@@ -66,6 +66,29 @@ object Demo {
       .search(MultiPhraseQ(Seq(Seq("key", "row"), Seq("agg", "scan"))), 3, BM25())
       .foreach(h => println(f"[demo] multiphrase hit doc=${h.docId} score=${h.score}%.4f"))
 
+    // round-2 surface: spans, cached filters, function scoring, match sets
+    import graft.search.{CachedQ, CustomScoreQ, DocLenVS, Highlighter, MemoryIndex,
+      PrefixQ, SpanNearQ, SpanTermQ}
+    val s3 = new IndexSearcher(spark, dir)
+    s3.search(SpanNearQ(Seq(SpanTermQ("window"), SpanTermQ("merge")), slop = 3,
+        inOrder = false), 3, BM25())
+      .foreach(h => println(f"[demo] span-near hit doc=${h.docId} score=${h.score}%.4f"))
+    s3.search(FilteredQ(TQ("window"), CachedQ(PrefixQ("b"))), 3, BM25())
+      .foreach(h => println(f"[demo] cached-filter hit doc=${h.docId} score=${h.score}%.4f"))
+    s3.search(CustomScoreQ(TQ("window"), Seq(DocLenVS)), 3, BM25())
+      .foreach(h => println(f"[demo] custom-score hit doc=${h.docId} score=${h.score}%.4f"))
+    println(s"[demo] match-set rows for 'batch': ${s3.matchingDocs(TQ("batch")).count()}")
+    val (timedHits, timedOut) = s3.searchWithTimeout(TQ("window"), 3, BM25(), timeoutMs = 60000)
+    println(s"[demo] timed search: ${timedHits.length} hits, timedOut=$timedOut")
+
+    // percolation + highlighting (contrib analogs)
+    val mi = new MemoryIndex("streamed window batch text", WhitespaceAnalyzer)
+    println(s"[demo] memory-index percolation 'window AND batch': " +
+      mi.matches(QueryParser.parse("window AND batch", WhitespaceAnalyzer)))
+    Highlighter.bestFragments(TQ("window"), WhitespaceAnalyzer,
+      "a window into the engine", fragmentSize = 50, maxFragments = 1)
+      .foreach(f => println(s"[demo] highlight: $f"))
+
     // probes
     println("[demo] probe empty-result: " +
       new IndexSearcher(spark, dir).search(QueryParser.parse("qqqqzzzz", WhitespaceAnalyzer), 5, BM25()).length)
