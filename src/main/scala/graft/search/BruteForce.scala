@@ -168,9 +168,15 @@ object BruteForce {
           if (must.isEmpty && matchedOpt < math.max(1, msm)) None
           else if (msm > 0 && matchedOpt < msm) None
           else {
+            // grouping must mirror the scorer tree bit-for-bit: the should
+            // clauses sum into their OWN subtotal (the disjunction scorer's
+            // score) before joining the must sum — float addition is not
+            // associative, so ((m1+m2)+(s1+s2)) != (((m1+m2)+s1)+s2)
             var s = 0.0
             mustScores.foreach(o => s += o.get)
-            shouldScores.foreach(o => o.foreach(v => s += v))
+            var ss = 0.0
+            shouldScores.foreach(o => o.foreach(v => ss += v))
+            if (matchedOpt > 0) s += ss
             val maxCoord = must.size + should.size
             Some(s * sim.coord(must.size + matchedOpt, maxCoord))
           }
