@@ -239,7 +239,38 @@ case object DelimitedPayloadAnalyzer extends Analyzer {
   override def name: String = "delimited"
 }
 
+/** Character n-grams of the whole input, start-major with ascending sizes
+  * per start (reference contrib NGramTokenizer; goldens
+  * /root/reference/src/test/analysis/ngram/NGramTokenizerTest.cpp:17-36) —
+  * substring search / fuzzy-ish recall. */
+final case class NGramAnalyzer(minGram: Int = 1, maxGram: Int = 2) extends Analyzer {
+  require(minGram >= 1 && minGram <= maxGram, "invalid gram bounds")
+  override def analyze(text: String): Iterator[Token] =
+    for {
+      start <- (0 to text.length - minGram).iterator
+      n <- (minGram to math.min(maxGram, text.length - start)).iterator
+    } yield Token(text.substring(start, start + n), 1, start, start + n, TokenType.ALPHANUM)
+  override def name: String = s"ngram-$minGram-$maxGram"
+}
+
+/** Edge n-grams anchored at the input's front (or back) — prefix search
+  * (reference contrib EdgeNGramTokenizer; goldens
+  * EdgeNGramTokenizerTest.cpp:17-36). */
+final case class EdgeNGramAnalyzer(minGram: Int = 1, maxGram: Int = 1,
+    back: Boolean = false) extends Analyzer {
+  require(minGram >= 1 && minGram <= maxGram, "invalid gram bounds")
+  override def analyze(text: String): Iterator[Token] =
+    (minGram to math.min(maxGram, text.length)).iterator.map { n =>
+      val (s, e) = if (back) (text.length - n, text.length) else (0, n)
+      Token(text.substring(s, e), 1, s, e, TokenType.ALPHANUM)
+    }
+  override def name: String = s"edgengram-$minGram-$maxGram" + (if (back) "-back" else "")
+}
+
 object Analyzer {
+  private val NGramName = """ngram-(\d+)-(\d+)""".r
+  private val EdgeName = """edgengram-(\d+)-(\d+)(-back)?""".r
+
   /** Resolve an analyzer by the name stored in index metadata. */
   def byName(name: String): Analyzer = name match {
     case "standard" => StandardAnalyzer()
@@ -248,6 +279,8 @@ object Analyzer {
     case "keyword" => KeywordAnalyzer
     case "porter" => PorterAnalyzer()
     case "delimited" => DelimitedPayloadAnalyzer
+    case NGramName(lo, hi) => NGramAnalyzer(lo.toInt, hi.toInt)
+    case EdgeName(lo, hi, back) => EdgeNGramAnalyzer(lo.toInt, hi.toInt, back != null)
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }

@@ -208,6 +208,31 @@ class AnalysisSpec extends AnyFunSuite {
     assert(Analyzer.byName("keyword").name == "keyword")
   }
 
+  test("ngram tokenizers: reference NGram/EdgeNGramTokenizerTest goldens") {
+    def toks(a: Analyzer, s: String) = a.analyze(s).toSeq
+    // NGramTokenizerTest testDefaultGrams: min=1 max=2, start-major
+    assert(toks(NGramAnalyzer(), "abc").map(t => (t.term, t.start, t.end)) ==
+      Seq(("a", 0, 1), ("ab", 0, 2), ("b", 1, 2), ("bc", 1, 3), ("c", 2, 3)))
+    // testMinMaxGrams
+    assert(toks(NGramAnalyzer(2, 3), "abcde").map(_.term) ==
+      Seq("ab", "abc", "bc", "bcd", "cd", "cde", "de"))
+    // testPreservesCase
+    assert(toks(NGramAnalyzer(2, 2), "AbC").map(_.term) == Seq("Ab", "bC"))
+    // EdgeNGramTokenizerTest: default (1,1), min-max (1,3), oversized
+    assert(toks(EdgeNGramAnalyzer(), "abc").map(t => (t.term, t.start, t.end)) ==
+      Seq(("a", 0, 1)))
+    assert(toks(EdgeNGramAnalyzer(1, 3), "abcde").map(t => (t.term, t.start, t.end)) ==
+      Seq(("a", 0, 1), ("ab", 0, 2), ("abc", 0, 3)))
+    assert(toks(EdgeNGramAnalyzer(6, 6), "abcde").isEmpty)
+    assert(toks(EdgeNGramAnalyzer(1, 2, back = true), "abcde").map(_.term) == Seq("e", "de"))
+    // invalid bounds rejected (testInvalidArguments)
+    intercept[IllegalArgumentException](NGramAnalyzer(0, 1))
+    intercept[IllegalArgumentException](NGramAnalyzer(3, 2))
+    // metadata name round-trips with parameters
+    assert(Analyzer.byName("ngram-2-3") == NGramAnalyzer(2, 3))
+    assert(Analyzer.byName("edgengram-1-3-back") == EdgeNGramAnalyzer(1, 3, back = true))
+  }
+
   test("length filter and ascii folding") {
     val toks = Filters.lengthFilter(2, 5)(WhitespaceAnalyzer.analyze("a ab abc abcdef")).toSeq
     assert(toks.map(_.term) == Seq("ab", "abc"))
