@@ -33,7 +33,8 @@ object Maintenance {
         var postingCount = 0L
         r.allTerms.foreach { ti =>
           termCount += 1
-          // walk postings, checking doc order and df
+          // walk postings, checking doc order and df; verify the skip
+          // table's deep jumps land consistently with sequential scan
           val pi = r.postings(ti, needPositions = false)
           var df = 0
           var prev = -1
@@ -46,10 +47,29 @@ object Maintenance {
             d0 = pi.nextDoc()
           }
           if (df != ti.df) problems += s"term '${ti.term}': df $df != ${ti.df}"
+          if (ti.skipBytes > 0 && prev >= 0) {
+            // a skip-table advance to the last doc must agree with the scan
+            val pj = r.postings(ti, needPositions = false)
+            if (pj.advance(prev) != prev)
+              problems += s"term '${ti.term}': skip-table advance($prev) diverges from scan"
+          }
           postingCount += df
         }
         if (termCount != m.termCount) problems += s"termCount $termCount != ${m.termCount}"
         if (postingCount != m.postingCount) problems += s"postingCount $postingCount != ${m.postingCount}"
+        if (m.hasVectors) {
+          // vector sidecar: every doc decodes; freqs sum to the doc length
+          var d1 = 0
+          while (d1 < m.docCount) {
+            r.termVector(d1) match {
+              case Some(entries) =>
+                val dl = entries.map(_._2).sum
+                if (dl != r.doclens(d1)) problems += s"doc $d1: vector freq sum $dl != doclen ${r.doclens(d1)}"
+              case None => problems += s"doc $d1: missing term vector"
+            }
+            d1 += 1
+          }
+        }
       } catch {
         case e: Throwable => problems += s"unreadable: ${e.getMessage}"
       }

@@ -53,12 +53,16 @@ object Dedup {
     minHashPairs(docs, w, minJaccard, bands = 32, rowsPerBand = 2)
 
   /** MinHash signature: perms[p] = min over shingles of xxhash64(sh, p).
-    * One projection, no shuffle. */
+    * One projection, no shuffle, and ONE pass over the shingle array: the
+    * accumulator is the 64-wide signature itself (the per-perm formulation
+    * re-scanned the array numPerms times). The numPerms hashes per shingle
+    * are inherent to MinHash. */
   def minHashSignatures(docs: DataFrame, w: Int = 3, numPerms: Int = 64): DataFrame =
     shingles(docs, w).select(col("doc_id"), col("shingles"),
-      transform(sequence(lit(0), lit(numPerms - 1)),
-        p => aggregate(col("shingles"), lit(Long.MaxValue),
-          (acc, s) => least(acc, xxhash64(s, p)))).as("sig"))
+      aggregate(col("shingles"),
+        array_repeat(lit(Long.MaxValue), numPerms),
+        (acc, s) => zip_with(acc, sequence(lit(0), lit(numPerms - 1)),
+          (a, p) => least(a, xxhash64(s, p)))).as("sig"))
 
   /** MinHash + LSH banding: candidates share a band; candidates are then
     * verified with exact Jaccard over shingle sets (array_intersect /
