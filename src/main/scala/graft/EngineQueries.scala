@@ -22,8 +22,15 @@ object EngineQueries {
     searchers.getOrElseUpdate(sfDir, {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft-index-" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
+      def expectedPerSeg(numDocs: Long): Int =
+        math.min(15000L, math.max(256L, numDocs / 32)).toInt
       val committed = IndexMetaIO.readLatestWithExtra(dir)
         .filter { case (_, extra) => extra.get("format").contains(IndexMetaIO.FormatVersion) }
+        .filter { case (m, _) => // stale segment layout → rebuild
+          m.segments.nonEmpty &&
+            m.segments.map(_.docCount).max ==
+              math.min(expectedPerSeg(m.numDocs).toLong, m.numDocs)
+        }
         .filter(_ => new java.io.File(dir, "docmap/_SUCCESS").exists())
       if (committed.isEmpty) {
         // stale or old-format cache: wipe and rebuild
@@ -34,8 +41,13 @@ object EngineQueries {
         if (new java.io.File(dir).exists()) rm(new java.io.File(dir))
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val corpus = docs.select(format_string("%012d", col("doc_id")).as("url"), col("text"))
+        // one segment per core once the corpus is big enough (a 60k-doc
+        // corpus in 256-doc segments is 234 tiny tasks per query job —
+        // pure scheduling overhead); floor of 256 keeps the multi-segment
+        // merge path exercised at sf0.001
+        val perSeg = expectedPerSeg(docs.count())
         IndexBuilder.build(spark, corpus,
-          IndexConfig(dir, analyzer = "whitespace", docsPerSegment = 256,
+          IndexConfig(dir, analyzer = "whitespace", docsPerSegment = perSeg,
             storePositions = true, writeDocMap = true))
       }
       new IndexSearcher(spark, dir)

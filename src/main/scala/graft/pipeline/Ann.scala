@@ -38,17 +38,27 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** Hyperplane coefficient for (plane, dim-index): the same value the
+    * Catalyst expression `xxhash64(lit(plane), i) / Long.MaxValue` yields
+    * (seed 42, ints hashed in child order), but computed ONCE driver-side —
+    * the coefficients are data-independent, so evaluating the hash chain
+    * per row (4,096 hashes/row at 8 tables × 8 bits × 64 dims) was pure
+    * waste. */
+  private def hyperplane(plane: Int, dim: Int): Array[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val seedHash = XXH64.hashInt(plane, 42L)
+    Array.tabulate(dim)(i => XXH64.hashInt(i, seedHash).toDouble / Long.MaxValue.toDouble)
+  }
+
   /** Random-hyperplane signature for one table: bit b = sign of
-    * dot(v, h_{table,b}) where the hyperplane coefficients come from
-    * xxhash64(table*bits+b, i) — all expression-level, no UDF, no shuffle. */
+    * dot(v, h_{table,b}); coefficients are embedded array literals, so the
+    * per-row work is `bits` plain dot products — expression-level, no UDF,
+    * no shuffle. */
   def lshSignature(v: Column, dim: Int, bits: Int, table: Int = 0): Column =
     (0 until bits).map { b =>
+      val coeffs = typedLit(hyperplane(table * bits + b, dim).toSeq)
       val dot = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, i) => {
-          // hash → pseudo-random coefficient in [-1, 1)
-          val h = xxhash64(lit(table * bits + b), i)
-          x.cast("double") * (h.cast("double") / lit(Long.MaxValue.toDouble))
-        }),
+        zip_with(v, coeffs, (x, c) => x.cast("double") * c),
         lit(0.0), (a2, x) => a2 + x)
       when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
