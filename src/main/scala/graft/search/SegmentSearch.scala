@@ -64,6 +64,18 @@ final class TopKCollector(k: Int) {
   }
 }
 
+/** Unsynchronized diagnostic counters for the WAND loop — read by the
+  * profiling tools (exact when single-threaded, indicative otherwise;
+  * never used for control flow). */
+object WandDiag {
+  @volatile var enabled = false
+  var fullEvals = 0L // pivot docs fully scored
+  var blockSkips = 0L // deep skips taken after a block-max refutation
+  var pivotAdvances = 0L // behind-iterator advances to the pivot
+  var rounds = 0L // outer-loop iterations
+  def reset(): Unit = { fullEvals = 0; blockSkips = 0; pivotAdvances = 0; rounds = 0 }
+}
+
 /** Per-segment query execution: weight construction (global stats in, the
   * reference's Weight algebra — Query.cpp:44-54), scorer-tree building
   * (BooleanScorer2::makeCountingSumScorer semantics, BooleanScorer2.cpp:58-93)
@@ -389,8 +401,10 @@ object SegmentSearch {
     // allocation per round)
     val order = Array.tabulate(m)(identity)
 
+    val diag = WandDiag.enabled
     var done = false
     while (!done) {
+      if (diag) WandDiag.rounds += 1
       var a = 1
       while (a < m) {
         val v = order(a)
@@ -450,6 +464,7 @@ object SegmentSearch {
                 s += ws(j).score(pis(j).freq.toFloat, norms(pivot), doclens(pivot))
               j += 1
             }
+            if (diag) WandDiag.fullEvals += 1
             collector.collect(s, docBase + pivot)
             j = 0
             while (j < m) {
@@ -462,6 +477,7 @@ object SegmentSearch {
             // target must not pass the first iterator beyond the prefix:
             // docs in (pivot, minBlockEnd] where that iterator lands were
             // never counted in blockAcc, so skipping them is inadmissible.
+            if (diag) WandDiag.blockSkips += 1
             var target = math.max(pivot + 1, minBlockEnd + 1)
             if (p + 1 < m)
               target = math.min(target, math.max(pivot + 1, pis(order(p + 1)).docID))
@@ -474,6 +490,7 @@ object SegmentSearch {
           }
         } else {
           // advance the furthest-behind iterator to the pivot
+          if (diag) WandDiag.pivotAdvances += 1
           pis(order(0)).advance(pivot)
         }
       }
