@@ -53,6 +53,48 @@ object EngineQueries {
       new IndexSearcher(spark, dir)
     })
 
+  /** Payload-carrying twin of [[searcher]]: the same documents corpus with
+    * each token annotated as "tok|p" (p = 1-based token position), indexed
+    * through the delimited-payload analyzer. Token positions are
+    * SQL-recoverable, so payload scoring gets a real DuckDB oracle. */
+  def payloadSearcher(spark: SparkSession, sfDir: String): IndexSearcher =
+    searchers.getOrElseUpdate("pay:" + sfDir, {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-index-pay-" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
+      def expectedPerSeg(numDocs: Long): Int =
+        math.min(15000L, math.max(256L, numDocs / 32)).toInt
+      val committed = IndexMetaIO.readLatestWithExtra(dir)
+        .filter { case (_, extra) => extra.get("format").contains(IndexMetaIO.FormatVersion) }
+        .filter { case (m, _) =>
+          m.segments.nonEmpty && m.segments.forall(_.hasPayloads) &&
+            m.segments.map(_.docCount).max ==
+              math.min(expectedPerSeg(m.numDocs).toLong, m.numDocs)
+        }
+      if (committed.isEmpty) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        if (new java.io.File(dir).exists()) rm(new java.io.File(dir))
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val toks = filter(split(col("text"), " "), t => t =!= "")
+        val corpus = docs.select(
+          format_string("%012d", col("doc_id")).as("url"),
+          array_join(transform(toks,
+            (t, i) => concat(t, lit("|"), (i + 1).cast("string"))), " ").as("text"))
+        val perSeg = expectedPerSeg(docs.count())
+        IndexBuilder.build(spark, corpus,
+          IndexConfig(dir, analyzer = "delimited", docsPerSegment = perSeg,
+            storePositions = true, writeDocMap = false, storePayloads = true))
+      }
+      new IndexSearcher(spark, dir)
+    })
+
+  /** Top-k through the payload index with float-decoding similarity. */
+  def payloadTopK(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame =
+    toDF(spark, payloadSearcher(spark, sfDir)
+      .search(q, k, graft.score.PayloadDecodingSimilarity()))
+
   /** Stored-field fetch: hits joined back to the (docId, url) map — the
     * "source table IS the doc store" pattern (SURVEY.md §2.1 stored-fields
     * scan = broadcast lookup join). */

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
-import graft.search.{BoolQ, CustomScoreQ, DisMaxQ, DocLenVS, FuzzyQ, PhraseQ, PrefixQ,
-  SpanFirstQ, SpanNearQ, SpanNotQ, SpanTermQ, TermQ, TermRangeQ, WildcardQ}
+import graft.search.{AvgPayloadFunction, BoolQ, CustomScoreQ, DisMaxQ, DocLenVS, FuzzyQ,
+  PayloadNearQ, PhraseQ, PrefixQ, SpanFirstQ, SpanNearQ, SpanNotQ, SpanTermQ, TermQ,
+  TermRangeQ, WildcardQ}
 
 /** Driver contract (see the builder prompt): `queries` are the operator
   * inventory exercised against the driver's parquet tables; `oracleSql` are
@@ -225,6 +226,16 @@ object SparkEntry {
         graft.search.QueryParser.parse("window spark merge",
           graft.analysis.WhitespaceAnalyzer), 10)),
 
+    // payload-scored proximity: the documents corpus re-indexed with each
+    // token annotated "tok|position" through the delimited-payload
+    // analyzer; score = span score x avg of the first match's payloads
+    // (the 1-based positions of the matched bigram) — SQL-recoverable, so
+    // the payload channel through composite spans gets a full oracle
+    "payload_near" -> ((s, dir) =>
+      EngineQueries.payloadTopK(s, dir,
+        PayloadNearQ(Seq(SpanTermQ("key"), SpanTermQ("agg")), slop = 0,
+          inOrder = true, AvgPayloadFunction), 10)),
+
     // stored-field fetch: hits joined to the docmap (url = padded doc_id)
     "doc_fetch" -> ((s, dir) =>
       EngineQueries.topKWithUrls(s, dir,
@@ -416,6 +427,30 @@ object SparkEntry {
          |SELECT DISTINCT doc_id FROM p a JOIN p b USING (doc_id)
          |WHERE a.term = 'window' AND b.term = 'merge'
          |AND abs((b.pos - 1) - a.pos) <= 2""".stripMargin,
+
+    "payload_near" ->
+      s"""$posCte,
+         |bg AS (SELECT a.doc_id, a.pos AS fp FROM p a JOIN p b USING (doc_id)
+         |       WHERE a.term = 'key' AND b.term = 'agg' AND b.pos = a.pos + 1),
+         |gb AS (SELECT doc_id, count(*)::DOUBLE AS c, min(fp)::DOUBLE AS firstp FROM bg GROUP BY 1),
+         |tokf AS (SELECT doc_id, term FROM (SELECT doc_id, unnest(toks) AS term FROM t)),
+         |dl AS (SELECT d.doc_id, coalesce(x.c, 0)::DOUBLE AS dl FROM documents d
+         |       LEFT JOIN (SELECT doc_id, count(*) AS c FROM tokf GROUP BY 1) x USING (doc_id)),
+         |st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |              (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+         |dfq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokf
+         |        WHERE term IN ('key', 'agg') GROUP BY 1),
+         |idfw AS (SELECT CAST(CAST(ln(1 + (st.n - a.df + 0.5)/(a.df + 0.5)) AS FLOAT)
+         |                   + CAST(ln(1 + (st.n - k.df + 0.5)/(k.df + 0.5)) AS FLOAT) AS DOUBLE) AS idfsum
+         |         FROM st, (SELECT df FROM dfq WHERE term = 'agg') a,
+         |                  (SELECT df FROM dfq WHERE term = 'key') k),
+         |sc AS (SELECT gb.doc_id,
+         |              idfw.idfsum * (CAST(gb.c / 3.0 AS FLOAT) * 2.2)
+         |                / (CAST(gb.c / 3.0 AS FLOAT) + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+         |                * (gb.firstp + 0.5) AS score
+         |       FROM gb JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfw)
+         |SELECT doc_id, round(score, 4) AS score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "custom_score" ->
       s"""${bm25PerTermCte("'window'")}

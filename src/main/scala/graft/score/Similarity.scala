@@ -123,6 +123,26 @@ private final class BM25ExactWeight(idfBoost: Double, k1: Double, b: Double, avg
     idfBoost * (maxFreq * (k1 + 1)) / (maxFreq + k1 * (1 - b + b * minDl / avgdl))
 }
 
+/** A similarity that decodes 4-byte big-endian float payloads (the
+  * DelimitedPayloadAnalyzer encoding) and otherwise delegates — the
+  * reference payload tests' Similarity::scorePayload override pattern
+  * (/root/reference/src/test/search/payloads/PayloadTermQueryTest.cpp
+  * BoostingTermSimilarity). */
+final case class PayloadDecodingSimilarity(inner: Similarity = BM25Exact()) extends Similarity {
+  override def termWeight(df: Long, b: Float, st: CorpusStats): TermWeight = inner.termWeight(df, b, st)
+  override def queryNorm(s: Float): Float = inner.queryNorm(s)
+  override def coord(o: Int, m: Int): Float = inner.coord(o, m)
+  override def queryWeightSq(df: Long, b: Float, st: CorpusStats): Float = inner.queryWeightSq(df, b, st)
+  override def phraseWeightSq(i: Float, b: Float): Float = inner.phraseWeightSq(i, b)
+  override def constWeightSq(b: Float): Float = inner.constWeightSq(b)
+  override def idf(df: Long, st: CorpusStats): Float = inner.idf(df, st)
+  override def phraseWeight(i: Float, b: Float, qn: Float, st: CorpusStats): TermWeight =
+    inner.phraseWeight(i, b, qn, st)
+  override def normalizedTermWeight(df: Long, b: Float, qn: Float, st: CorpusStats): TermWeight =
+    inner.normalizedTermWeight(df, b, qn, st)
+  override def scorePayload(p: Array[Byte]): Float = graft.analysis.PayloadCodec.decodeFloat(p)
+}
+
 /** The reference's DefaultSimilarity TF-IDF chain
   * (/root/reference/src/core/search/DefaultSimilarity.cpp:30-52,
   * TermQuery weight algebra /root/reference/src/core/search/TermQuery.cpp:32-114):

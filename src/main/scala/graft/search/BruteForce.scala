@@ -139,6 +139,30 @@ object BruteForce {
         boost.toDouble * provider.customScore(s, valSrcs.map(valueOf(_, doc, st)).toArray)
       }
 
+    case pq @ PayloadNearQ(_, _, _, fn, boost) =>
+      Spans.buildLocal(pq, t => doc.termPositions.get(t),
+        t => doc.termPayloads.getOrElse(t, null)) match {
+        case None => None
+        case Some(spans) =>
+          if (!spans.next()) None
+          else {
+            // payloads of the first match only (PayloadNearSpanScorer::
+            // setFreqCurrentDoc runs getPayloads once per doc)
+            var payloadScore = fn.init
+            var seen = 0
+            Spans.collectMatchPayloads(spans, pay => {
+              payloadScore = fn.fold(payloadScore, sim.scorePayload(pay).toDouble)
+              seen += 1
+            })
+            var freq = Spans.sloppyFreq(spans.start, spans.end)
+            while (spans.next()) freq += Spans.sloppyFreq(spans.start, spans.end)
+            val idfSum = Spans.idfSum(pq, sim, st, t => dfm.getOrElse(t, 0L))
+            val norm = SmallFloat.encodeNorm(doc.dl)
+            Some(sim.phraseWeight(idfSum, boost, queryNorm, st)
+              .score(freq.toFloat, norm, doc.dl) * fn.docScore(seen, payloadScore))
+          }
+      }
+
     case sq: SpanQuery =>
       Spans.buildLocal(sq, t => doc.termPositions.get(t)) match {
         case None => None

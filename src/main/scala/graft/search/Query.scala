@@ -172,6 +172,16 @@ case object MaxPayloadFunction extends PayloadFunction {
   override def docScore(seen: Int, acc: Double): Double = if (seen > 0) acc else 1.0
 }
 
+/** Payload-scored proximity query (reference PayloadNearQuery.cpp, a
+  * SpanNearQuery whose score multiplies the span score by
+  * fn.docScore over the payloads collected from the matched composite
+  * spans — PayloadNearSpanScorer::score). Payloads are gathered per doc
+  * from the FIRST match's shrunk positions (setFreqCurrentDoc calls
+  * getPayloads once on doc entry), exactly as the reference does. */
+final case class PayloadNearQ(clauses: Seq[SpanQuery], slop: Int,
+    inOrder: Boolean, fn: PayloadFunction = AvgPayloadFunction,
+    boost: Float = 1f) extends SpanQuery
+
 /** Payload-scored term query (reference PayloadTermQuery.cpp, a
   * SpanTermQuery whose score multiplies the span score by the folded
   * per-occurrence payload scores from Similarity.scorePayload):
@@ -212,6 +222,7 @@ object Query {
     case SpanOrQ(cs, _) => cs.flatMap(spanAllTerms).toSet
     case SpanNotQ(inc, exc, _) => spanAllTerms(inc) ++ spanAllTerms(exc)
     case SpanFirstQ(inner, _, _) => spanAllTerms(inner)
+    case PayloadNearQ(cs, _, _, _, _) => cs.flatMap(spanAllTerms).toSet
   }
 
   def needsPositions(q: Query): Boolean = q match {

@@ -167,6 +167,12 @@ object SegmentSearch {
       if (subs.isEmpty) None
       else Some(new DisjunctionMaxScorer(subs.toArray, tie, boost * queryNorm))
 
+    case pq @ PayloadNearQ(_, _, _, fn, boost) =>
+      Spans.build(pq, reader).map { spans =>
+        val w = sim.phraseWeight(Spans.idfSum(pq, sim, stats, df), boost, queryNorm, stats)
+        new PayloadNearSpanScorer(spans, w, fn, sim, reader.norms, reader.doclens)
+      }
+
     case sq: SpanQuery =>
       Spans.build(sq, reader).map { spans =>
         val w = sim.phraseWeight(Spans.idfSum(sq, sim, stats, df), sq.boost, queryNorm, stats)

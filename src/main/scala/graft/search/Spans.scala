@@ -20,15 +20,24 @@ trait Spans {
   def doc: Int
   def start: Int
   def end: Int
+  /** Payload bytes of the current match (reference Spans::getPayload;
+    * TermSpans.cpp yields the current position's payload, composite spans
+    * their collected match payloads). Empty when none. */
+  def payload: Iterable[Array[Byte]] = Nil
+  /** Reference Spans::isPayloadAvailable. */
+  def payloadAvailable: Boolean = false
 }
 
 /** Leaf spans over a segment postings iterator: one span per term position
-  * (reference TermSpans.cpp:27-55; end = start + 1). */
-final class TermSpans(pi: PostingsIterator) extends Spans {
+  * (reference TermSpans.cpp:27-55; end = start + 1). `withPayloads` turns
+  * on per-position payload exposure (decoded lazily, once per doc). */
+final class TermSpans(pi: PostingsIterator, withPayloads: Boolean = false) extends Spans {
   private var _doc = -1
   private var posArr: Array[Int] = null
   private var count = 0
   private var _pos = -1
+  private var payArr: Array[Array[Byte]] = null
+  private var payDoc = -1
 
   override def next(): Boolean = {
     if (posArr == null || count == posArr.length) {
@@ -53,17 +62,42 @@ final class TermSpans(pi: PostingsIterator) extends Spans {
     true
   }
 
+  private def currentPayload: Array[Byte] = {
+    if (!withPayloads || _doc < 0 || _doc == Int.MaxValue) return null
+    if (payDoc != _doc) { payArr = pi.payloads(); payDoc = _doc }
+    payArr(count - 1)
+  }
+
+  override def payload: Iterable[Array[Byte]] = {
+    val p = currentPayload
+    if (p == null) Nil else p :: Nil
+  }
+  override def payloadAvailable: Boolean = currentPayload != null
+
   override def doc: Int = _doc
   override def start: Int = _pos
   override def end: Int = _pos + 1
 }
 
 /** Leaf spans over in-memory (docId, sorted positions) entries — the
-  * brute-force spec's TermSpans twin. */
-final class ArraySpans(entries: Array[(Int, Array[Int])]) extends Spans {
+  * brute-force spec's TermSpans twin. `payloadsFor` optionally supplies the
+  * per-position payload arrays (aligned with each entry's positions). */
+final class ArraySpans(entries: Array[(Int, Array[Int])],
+    payloadsFor: Int => Array[Array[Byte]] = _ => null) extends Spans {
   private var di = -1
   private var count = 0
   private var _pos = -1
+
+  private def currentPayload: Array[Byte] = {
+    if (di < 0 || di >= entries.length) return null
+    val pays = payloadsFor(di)
+    if (pays == null) null else pays(count - 1)
+  }
+  override def payload: Iterable[Array[Byte]] = {
+    val p = currentPayload
+    if (p == null) Nil else p :: Nil
+  }
+  override def payloadAvailable: Boolean = currentPayload != null
 
   override def next(): Boolean = {
     if (di < 0 || count == entries(di)._2.length) {
@@ -134,13 +168,17 @@ final class OrSpans(clauses: Seq[Spans]) extends Spans {
   override def doc: Int = queue.peek().doc
   override def start: Int = queue.peek().start
   override def end: Int = queue.peek().end
+  // payload of the current (top) sub-span (reference SpanOrQuery.cpp OrSpans)
+  override def payload: Iterable[Array[Byte]] = queue.peek().payload
+  override def payloadAvailable: Boolean = queue.peek().payloadAvailable
 }
 
 /** In-order proximity: sub-spans must match in clause order with total gap
   * <= slop; enumerates the non-redundant shortest matches (reference
   * NearSpansOrdered.cpp:106-258 — toSameDoc / stretchToOrder /
   * shrinkToAfterShortestMatch). */
-final class NearSpansOrdered(subs: Array[Spans], allowedSlop: Int) extends Spans {
+final class NearSpansOrdered(subs: Array[Spans], allowedSlop: Int,
+    collectPayloads: Boolean = false) extends Spans {
   require(subs.length >= 2, "NearSpansOrdered needs at least 2 clauses")
 
   private var firstTime = true
@@ -153,10 +191,19 @@ final class NearSpansOrdered(subs: Array[Spans], allowedSlop: Int) extends Spans
   private val docCmp = new java.util.Comparator[Spans] {
     override def compare(a: Spans, b: Spans): Int = Integer.compare(a.doc, b.doc)
   }
+  // payloads of the current match, one per sub-position used (reference
+  // NearSpansOrdered.cpp matchPayload; cleared per advance, filled by
+  // shrinkToAfterShortestMatch). Insertion-ordered, reference-identity set
+  // semantics (the reference's SetByteArray never dedups by content).
+  private val matchPayload = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+  def subSpans: Array[Spans] = subs
 
   override def doc: Int = matchDoc
   override def start: Int = matchStart
   override def end: Int = matchEnd
+  override def payload: Iterable[Array[Byte]] = matchPayload
+  override def payloadAvailable: Boolean = matchPayload.nonEmpty
 
   override def next(): Boolean = {
     if (firstTime) {
@@ -168,6 +215,7 @@ final class NearSpansOrdered(subs: Array[Spans], allowedSlop: Int) extends Spans
       }
       more = true
     }
+    if (collectPayloads) matchPayload.clear() // NearSpansOrdered.cpp:75
     advanceAfterOrdered()
   }
 
@@ -184,6 +232,7 @@ final class NearSpansOrdered(subs: Array[Spans], allowedSlop: Int) extends Spans
       if (subs(0).skipTo(target)) inSameDoc = false
       else { more = false; return false }
     }
+    if (collectPayloads) matchPayload.clear() // NearSpansOrdered.cpp:99
     advanceAfterOrdered()
   }
 
@@ -232,12 +281,19 @@ final class NearSpansOrdered(subs: Array[Spans], allowedSlop: Int) extends Spans
     val last = subs(subs.length - 1)
     matchStart = last.start
     matchEnd = last.end
+    // payload staging (NearSpansOrdered.cpp:174-220): the last sub-span's
+    // current payload plus, per earlier sub-span, the payload of its FINAL
+    // position used in the shrink — added only if the match lands
+    val possibleMatchPayloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    if (collectPayloads && last.payloadAvailable) possibleMatchPayloads ++= last.payload
     var matchSlop = 0
     var lastStart = matchStart
     var lastEnd = matchEnd
     var i = subs.length - 2
     while (i >= 0) {
       val prev = subs(i)
+      var possiblePayload: List[Array[Byte]] = null
+      if (collectPayloads && prev.payloadAvailable) possiblePayload = prev.payload.toList
       var prevStart = prev.start
       var prevEnd = prev.end
       var advancing = true
@@ -248,9 +304,14 @@ final class NearSpansOrdered(subs: Array[Spans], allowedSlop: Int) extends Spans
           val ppStart = prev.start
           val ppEnd = prev.end
           if (!spansOrdered(ppStart, ppEnd, lastStart, lastEnd)) advancing = false
-          else { prevStart = ppStart; prevEnd = ppEnd }
+          else {
+            prevStart = ppStart
+            prevEnd = ppEnd
+            if (collectPayloads && prev.payloadAvailable) possiblePayload = prev.payload.toList
+          }
         }
       }
+      if (collectPayloads && possiblePayload != null) possibleMatchPayloads ++= possiblePayload
       // only non-overlapping spans add to slop (NearSpansOrdered.cpp:227-229)
       if (matchStart > prevEnd) matchSlop += matchStart - prevEnd
       matchStart = prevStart
@@ -258,7 +319,10 @@ final class NearSpansOrdered(subs: Array[Spans], allowedSlop: Int) extends Spans
       lastEnd = prevEnd
       i -= 1
     }
-    matchSlop <= allowedSlop
+    val matched = matchSlop <= allowedSlop
+    if (collectPayloads && matched && possibleMatchPayloads.nonEmpty)
+      matchPayload ++= possibleMatchPayloads
+    matched
   }
 }
 
@@ -270,6 +334,13 @@ final class NearSpansOrdered(subs: Array[Spans], allowedSlop: Int) extends Spans
 final class NearSpansUnordered(subs: Array[Spans], slop: Int) extends Spans {
   private var firstTime = true
   private var more = true
+
+  def subSpans: Array[Spans] = subs
+
+  // union of the sub-spans' current payloads (reference
+  // NearSpansUnordered.cpp:136-152 getPayload/isPayloadAvailable)
+  override def payload: Iterable[Array[Byte]] = subs.iterator.flatMap(_.payload).toSeq
+  override def payloadAvailable: Boolean = subs.exists(_.payloadAvailable)
 
   private def minIdx: Int = {
     var m = 0
@@ -390,6 +461,8 @@ final class NotSpans(include: Spans, exclude: Spans) extends Spans {
   override def doc: Int = include.doc
   override def start: Int = include.start
   override def end: Int = include.end
+  override def payload: Iterable[Array[Byte]] = include.payload
+  override def payloadAvailable: Boolean = include.payloadAvailable
 }
 
 /** Matches whose span ends within the first `limit` positions (reference
@@ -410,6 +483,8 @@ final class FirstSpans(inner: Spans, limit: Int) extends Spans {
   override def doc: Int = inner.doc
   override def start: Int = inner.start
   override def end: Int = inner.end
+  override def payload: Iterable[Array[Byte]] = inner.payload
+  override def payloadAvailable: Boolean = inner.payloadAvailable
 }
 
 /** Scorer over a spans tree: per-doc freq = Σ sloppyFreq(end - start) over
@@ -451,6 +526,58 @@ final class SpanScorer(spans: Spans, weight: graft.score.TermWeight,
   override def score(): Double = weight.score(_freq.toFloat, norms(_doc), doclens(_doc))
 }
 
+/** Scorer for [[PayloadNearQ]] (reference PayloadNearSpanScorer,
+  * PayloadNearQuery.cpp:108-163): on entering a doc, the payloads of the
+  * CURRENT (first) match are gathered from the near-span tree and folded
+  * through the payload function; freq then accumulates over all matches as
+  * in [[SpanScorer]]; score = spanScore x fn.docScore. */
+final class PayloadNearSpanScorer(spans: Spans, weight: graft.score.TermWeight,
+    fn: PayloadFunction, sim: graft.score.Similarity,
+    norms: Array[Byte], doclens: Array[Int]) extends Scorer {
+  private var more = spans.next()
+  private var _doc = if (more) -1 else Scorer.NoMoreDocs
+  private var _freq = 0.0
+  private var payloadScore = 0.0
+  private var payloadsSeen = 0
+
+  override def docID: Int = _doc
+
+  override def nextDoc(): Int = {
+    if (!setFreqCurrentDoc()) _doc = Scorer.NoMoreDocs
+    _doc
+  }
+
+  override def advance(target: Int): Int = {
+    if (!more) { _doc = Scorer.NoMoreDocs; return _doc }
+    if (spans.doc < target) more = spans.skipTo(target)
+    if (!setFreqCurrentDoc()) _doc = Scorer.NoMoreDocs
+    _doc
+  }
+
+  private def setFreqCurrentDoc(): Boolean = {
+    if (!more) return false
+    _doc = spans.doc
+    payloadScore = fn.init
+    payloadsSeen = 0
+    Spans.collectMatchPayloads(spans, p => {
+      payloadScore = fn.fold(payloadScore, sim.scorePayload(p).toDouble)
+      payloadsSeen += 1
+    })
+    _freq = 0.0
+    var same = true
+    while (same) {
+      _freq += Spans.sloppyFreq(spans.start, spans.end)
+      more = spans.next()
+      same = more && _doc == spans.doc
+    }
+    true
+  }
+
+  override def score(): Double =
+    weight.score(_freq.toFloat, norms(_doc), doclens(_doc)) *
+      fn.docScore(payloadsSeen, payloadScore)
+}
+
 object Spans {
 
   /** sloppyFreq contribution of one span — the reference's
@@ -460,61 +587,76 @@ object Spans {
 
   /** Build segment-backed spans; None when no match is possible in this
     * segment (a required leaf term is absent). */
-  def build(sq: SpanQuery, reader: graft.index.SegmentReader): Option[Spans] = sq match {
+  def build(sq: SpanQuery, reader: graft.index.SegmentReader,
+      collectPayloads: Boolean = false): Option[Spans] = sq match {
     case SpanTermQ(t, _) =>
-      reader.termInfo(t).map(ti => new TermSpans(reader.postings(ti, needPositions = true)))
+      val withPays = collectPayloads && reader.meta.hasPayloads
+      reader.termInfo(t).map(ti =>
+        new TermSpans(reader.postings(ti, needPositions = true), withPays))
     case SpanNearQ(cs, slop, inOrder, _) =>
-      val subs = cs.map(build(_, reader))
+      val subs = cs.map(build(_, reader, collectPayloads))
       if (subs.exists(_.isEmpty)) None
       else subs.flatten match {
         case Seq(one) => Some(one)
-        case many if inOrder => Some(new NearSpansOrdered(many.toArray, slop))
+        case many if inOrder => Some(new NearSpansOrdered(many.toArray, slop, collectPayloads))
         case many => Some(new NearSpansUnordered(many.toArray, slop))
       }
+    case PayloadNearQ(cs, slop, inOrder, _, _) =>
+      // a SpanNearQuery whose spans collect payloads
+      build(SpanNearQ(cs, slop, inOrder), reader, collectPayloads = true)
     case SpanOrQ(cs, _) =>
-      cs.flatMap(build(_, reader)) match {
+      cs.flatMap(build(_, reader, collectPayloads)) match {
         case Seq() => None
         case Seq(one) => Some(one)
         case many => Some(new OrSpans(many))
       }
     case SpanNotQ(inc, exc, _) =>
-      build(inc, reader).map { i =>
+      build(inc, reader, collectPayloads).map { i =>
         build(exc, reader) match {
           case Some(e) => new NotSpans(i, e)
           case None => i
         }
       }
     case SpanFirstQ(inner, limit, _) =>
-      build(inner, reader).map(new FirstSpans(_, limit))
+      build(inner, reader, collectPayloads).map(new FirstSpans(_, limit))
   }
 
-  /** Brute-force twin of [[build]] over one analyzed doc (docId 0). */
-  def buildLocal(sq: SpanQuery, positions: String => Option[Array[Int]]): Option[Spans] = sq match {
+  /** Brute-force twin of [[build]] over one analyzed doc (docId 0);
+    * `payloads(t)` gives the per-position payload arrays aligned with
+    * `positions(t)` (null when the term carries none). */
+  def buildLocal(sq: SpanQuery, positions: String => Option[Array[Int]],
+      payloads: String => Array[Array[Byte]] = _ => null,
+      collectPayloads: Boolean = false): Option[Spans] = sq match {
     case SpanTermQ(t, _) =>
-      positions(t).map(ps => new ArraySpans(Array((0, ps))))
+      positions(t).map { ps =>
+        val pays = if (collectPayloads) payloads(t) else null
+        new ArraySpans(Array((0, ps)), _ => pays)
+      }
     case SpanNearQ(cs, slop, inOrder, _) =>
-      val subs = cs.map(buildLocal(_, positions))
+      val subs = cs.map(buildLocal(_, positions, payloads, collectPayloads))
       if (subs.exists(_.isEmpty)) None
       else subs.flatten match {
         case Seq(one) => Some(one)
-        case many if inOrder => Some(new NearSpansOrdered(many.toArray, slop))
+        case many if inOrder => Some(new NearSpansOrdered(many.toArray, slop, collectPayloads))
         case many => Some(new NearSpansUnordered(many.toArray, slop))
       }
+    case PayloadNearQ(cs, slop, inOrder, _, _) =>
+      buildLocal(SpanNearQ(cs, slop, inOrder), positions, payloads, collectPayloads = true)
     case SpanOrQ(cs, _) =>
-      cs.flatMap(buildLocal(_, positions)) match {
+      cs.flatMap(buildLocal(_, positions, payloads, collectPayloads)) match {
         case Seq() => None
         case Seq(one) => Some(one)
         case many => Some(new OrSpans(many))
       }
     case SpanNotQ(inc, exc, _) =>
-      buildLocal(inc, positions).map { i =>
+      buildLocal(inc, positions, payloads, collectPayloads).map { i =>
         buildLocal(exc, positions) match {
           case Some(e) => new NotSpans(i, e)
           case None => i
         }
       }
     case SpanFirstQ(inner, limit, _) =>
-      buildLocal(inner, positions).map(new FirstSpans(_, limit))
+      buildLocal(inner, positions, payloads, collectPayloads).map(new FirstSpans(_, limit))
   }
 
   /** Weight-bearing terms of a span query — reference extractTerms
@@ -526,6 +668,21 @@ object Spans {
     case SpanOrQ(cs, _) => cs.flatMap(weightTerms).toSet
     case SpanNotQ(inc, _, _) => weightTerms(inc)
     case SpanFirstQ(inner, _, _) => weightTerms(inner)
+    case PayloadNearQ(cs, _, _, _, _) => cs.flatMap(weightTerms).toSet
+  }
+
+  /** Walk the spans tree processing each near-node's current match
+    * payloads — the reference PayloadNearSpanScorer::getPayloads recursion
+    * (PayloadNearQuery.cpp:117-133: only NearSpansOrdered/Unordered nodes
+    * are visited; other span types are passed over). */
+  def collectMatchPayloads(s: Spans, f: Array[Byte] => Unit): Unit = s match {
+    case n: NearSpansOrdered =>
+      if (n.payloadAvailable) n.payload.foreach(f)
+      n.subSpans.foreach(collectMatchPayloads(_, f))
+    case n: NearSpansUnordered =>
+      if (n.payloadAvailable) n.payload.foreach(f)
+      n.subSpans.foreach(collectMatchPayloads(_, f))
+    case _ => ()
   }
 
   /** idf summed over the sorted weight-term set — float order pinned so the

@@ -136,6 +136,79 @@ class ContribSpec extends AnyFunSuite {
     assert(pays.map(PayloadCodec.decodeFloat).toSeq == Seq(3.0f, 1.0f))
   }
 
+  test("payload near query: span payload collection, engine == spec, hand values") {
+    import graft.analysis.PayloadCodec
+    import graft.score.{BM25Exact, CorpusStats, Similarity, TermWeight}
+    object PayloadSim extends Similarity {
+      private val inner = BM25Exact()
+      override def termWeight(df: Long, b: Float, st: CorpusStats): TermWeight = inner.termWeight(df, b, st)
+      override def queryNorm(s: Float): Float = inner.queryNorm(s)
+      override def coord(o: Int, m: Int): Float = inner.coord(o, m)
+      override def queryWeightSq(df: Long, b: Float, st: CorpusStats): Float = inner.queryWeightSq(df, b, st)
+      override def phraseWeightSq(i: Float, b: Float): Float = inner.phraseWeightSq(i, b)
+      override def constWeightSq(b: Float): Float = inner.constWeightSq(b)
+      override def idf(df: Long, st: CorpusStats): Float = inner.idf(df, st)
+      override def phraseWeight(i: Float, b: Float, qn: Float, st: CorpusStats): TermWeight =
+        inner.phraseWeight(i, b, qn, st)
+      override def normalizedTermWeight(df: Long, b: Float, qn: Float, st: CorpusStats): TermWeight =
+        inner.normalizedTermWeight(df, b, qn, st)
+      override def scorePayload(p: Array[Byte]): Float = PayloadCodec.decodeFloat(p)
+    }
+
+    val texts = Seq(
+      "a|1.0 b|2.0 c|3.0 a|4.0 b|5.0", // two "a b" matches; first match payloads (b=2.0, a=1.0)
+      "b|9.0 a|1.5 b|2.5",             // one ordered "a b"; payloads (2.5, 1.5)
+      "a b",                            // ordered match, no payloads -> factor 1.0
+      "b|1.0 a|2.0")                   // unordered-only match
+    val dir = Files.createTempDirectory("graft-paynear").toString
+    LocalIndex.build(dir, texts.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      "delimited", docsPerSegment = 2, storePayloads = true)
+    val bf = BruteForce.analyzeCorpus(graft.analysis.DelimitedPayloadAnalyzer,
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+    def hits(q: Query): Map[Long, Double] =
+      LocalIndex.search(dir, q, 10, PayloadSim).map(h => h.docId -> h.score).toMap
+
+    val clauses = Seq(SpanTermQ("a"), SpanTermQ("b"))
+    // payload factor = avg over the FIRST match's payloads; span part cancels
+    // against the plain SpanNearQ score
+    val plain = hits(SpanNearQ(clauses, 0, inOrder = true))
+    val pn = hits(PayloadNearQ(clauses, 0, inOrder = true, AvgPayloadFunction))
+    assert(pn.keySet == Set(0L, 1L, 2L) && plain.keySet == pn.keySet)
+    assert(math.abs(pn(0L) / plain(0L) - 1.5) < 1e-9) // (2.0+1.0)/2
+    assert(math.abs(pn(1L) / plain(1L) - 2.0) < 1e-9) // (2.5+1.5)/2
+    assert(math.abs(pn(2L) / plain(2L) - 1.0) < 1e-9) // no payloads seen
+    val mx = hits(PayloadNearQ(clauses, 0, inOrder = true, MaxPayloadFunction))
+    assert(math.abs(mx(0L) / plain(0L) - 2.0) < 1e-9)
+    val mn = hits(PayloadNearQ(clauses, 0, inOrder = true, MinPayloadFunction))
+    assert(math.abs(mn(0L) / plain(0L) - 1.0) < 1e-9)
+
+    // unordered: doc3's reversed pair matches too, payload union of the cells
+    val un = hits(PayloadNearQ(clauses, 0, inOrder = false, AvgPayloadFunction))
+    val unPlain = hits(SpanNearQ(clauses, 0, inOrder = false))
+    assert(un.contains(3L))
+    assert(math.abs(un(3L) / unPlain(3L) - 1.5) < 1e-9) // (1.0+2.0)/2
+
+    // engine == spec bit-for-bit across functions, order modes and slops
+    for (fn <- Seq[PayloadFunction](AvgPayloadFunction, MinPayloadFunction, MaxPayloadFunction);
+         inOrder <- Seq(true, false); slop <- Seq(0, 1, 2)) {
+      val q = PayloadNearQ(clauses, slop, inOrder, fn)
+      val engine = LocalIndex.search(dir, q, 10, PayloadSim)
+      val spec = BruteForce.search(bf, q, 10, PayloadSim)
+      assert(engine.map(_.docId).toSeq == spec.map(_.docId).toSeq, s"fn=$fn ord=$inOrder slop=$slop")
+      engine.zip(spec).foreach { case (e, sp) =>
+        assert(e.score == sp.score, s"fn=$fn ord=$inOrder slop=$slop $e $sp") }
+    }
+
+    // nested: payload-near over (a, near(b c)) still collects through the tree
+    val nested = PayloadNearQ(Seq(SpanTermQ("a"),
+      SpanNearQ(Seq(SpanTermQ("b"), SpanTermQ("c")), 0, inOrder = true)), 1, inOrder = true)
+    val ne = LocalIndex.search(dir, nested, 10, PayloadSim)
+    val ns = BruteForce.search(bf, nested, 10, PayloadSim)
+    assert(ne.map(_.docId).toSeq == ns.map(_.docId).toSeq && ne.map(_.docId).contains(0L))
+    ne.zip(ns).foreach { case (e, sp) => assert(e.score == sp.score) }
+  }
+
   test("time-limited search: immediate deadline times out with partial results") {
     val dir = Files.createTempDirectory("graft-tlc").toString
     val corpus = SyntheticCorpus.generate(spark, 400, seed = 7, avgLen = 30, vocab = 50)
