@@ -82,4 +82,35 @@ object LocalIndex {
       .take(k)
       .toArray
   }
+
+  /** Explain `q0`'s score for one doc (reference Searcher::explain). The
+    * value is bit-identical to what [[search]] collects for a hit, and 0
+    * with matched=false for a non-hit. */
+  def explain(indexDir: String, q0: Query, docId: Long,
+      sim: Similarity): graft.search.Explanation = {
+    val meta = IndexMetaIO.readLatest(indexDir).get
+    val readers = meta.segments.map(m =>
+      new SegmentReader(new java.io.File(indexDir, SegmentFormat.segDirName(m.segId))))
+    val q =
+      if (!graft.search.Query.hasMultiTerm(q0)) q0
+      else {
+        val termsFrom = (lower: Option[String]) => {
+          val its = readers.map(_.termsFrom(lower).map(_.term))
+          its.foldLeft(Iterator.empty: Iterator[String])(_ ++ _).toSeq.distinct.sorted.iterator
+        }
+        graft.search.MultiTerm.expand(q0, termsFrom)
+      }
+    val terms = Query.allTerms(q)
+    val dfm = terms.map(t => t -> readers.flatMap(_.termInfo(t)).map(_.df.toLong).sum).toMap
+    val stats = graft.score.CorpusStats(meta.numDocs, meta.avgDocLength)
+    val reader = readers.find(r =>
+      docId >= r.meta.docBase && docId < r.meta.docBase + r.meta.docCount)
+      .getOrElse(return graft.search.Explanation(0.0, s"doc $docId not in index",
+        matched = false))
+    val local = (docId - reader.meta.docBase).toInt
+    val view = graft.search.Explain.docView(reader, local, graft.search.Explain.viewTerms(q))
+    val qn = sim.queryNorm(SegmentSearch.sumOfSquaredWeights(
+      Query.rewrite(q), sim, stats, t => dfm.getOrElse(t, 0L)))
+    graft.search.Explain.explainDoc(q, view, sim, stats, dfm, qn)
+  }
 }

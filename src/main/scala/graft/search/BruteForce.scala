@@ -15,7 +15,10 @@ import graft.score.{CorpusStats, Similarity}
 object BruteForce {
 
   final case class Doc(docId: Long, termPositions: Map[String, Array[Int]], dl: Int,
-      termPayloads: Map[String, Array[Array[Byte]]] = Map.empty) {
+      termPayloads: Map[String, Array[Array[Byte]]] = Map.empty,
+      /** Segment doc count for per-reader ordinals (engine ReverseOrd
+        * semantics); -1 = single-reader corpus (use stats.numDocs). */
+      segDocCount: Long = -1) {
     def freq(t: String): Int = termPositions.get(t).map(_.length).getOrElse(0)
   }
 
@@ -211,10 +214,11 @@ object BruteForce {
   /** Value-source twin over the single-reader view: docIds are url ranks,
     * so ord == docId + 1 (engine ords are per segment, like the reference's
     * per-reader FieldCache — identical on single-segment indexes). */
-  private def valueOf(src: ValueSource, doc: Doc, st: CorpusStats): Double = src match {
+  def valueOf(src: ValueSource, doc: Doc, st: CorpusStats): Double = src match {
     case DocLenVS => doc.dl.toDouble
     case OrdVS => (doc.docId + 1).toDouble
-    case ReverseOrdVS => (st.numDocs - doc.docId).toDouble
+    case ReverseOrdVS =>
+      ((if (doc.segDocCount >= 0) doc.segDocCount else st.numDocs) - doc.docId).toDouble
     case ConstVS(v) => v
   }
 

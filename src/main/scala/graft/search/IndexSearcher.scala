@@ -233,6 +233,36 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
     rdd.toDF("doc_id")
   }
 
+  /** Explain the score of one (query, doc) — the reference's
+    * Searcher::explain (Explanation value == the score search collects for
+    * a hit; matched=false and 0 for a non-hit). Runs as a one-task Spark
+    * job on the executor side, where the segment files live; only the
+    * explanation tree comes back. */
+  def explain(q0: Query, docId: Long, sim: Similarity): Explanation = {
+    val q = Query.rewrite(expandQueries(Seq("q" -> q0)).head._2)
+    val dfMap = globalDf(Query.allTerms(q))
+    val segMeta = meta.segments.find(m =>
+      docId >= m.docBase && docId < m.docBase + m.docCount)
+      .getOrElse(return Explanation(0.0, s"doc $docId not in index", matched = false))
+    val segDir = new File(indexDir,
+      graft.index.SegmentFormat.segDirName(segMeta.segId)).getPath
+    val st = stats
+    val sc = spark.sparkContext
+    val bcQ = sc.broadcast(q)
+    val bcDf = sc.broadcast(dfMap)
+    val out = sc.parallelize(Seq(segDir), 1).map { dir =>
+      val reader = ReaderCache.get(dir)
+      val local = (docId - reader.meta.docBase).toInt
+      val df = (t: String) => bcDf.value.getOrElse(t, 0L)
+      val view = Explain.docView(reader, local, Explain.viewTerms(bcQ.value))
+      val qn = sim.queryNorm(SegmentSearch.sumOfSquaredWeights(bcQ.value, sim, st, df))
+      Explain.explainDoc(bcQ.value, view, sim, st, bcDf.value, qn)
+    }.collect().head
+    bcQ.destroy()
+    bcDf.destroy()
+    out
+  }
+
   def searchBatch(queries0: Seq[(String, Query)], k: Int, sim: Similarity,
       useWand: Boolean = true): Map[String, Array[ScoredDoc]] = {
     val queries = expandQueries(queries0)

@@ -80,6 +80,13 @@ object Demo {
     println(s"[demo] match-set rows for 'batch': ${s3.matchingDocs(TQ("batch")).count()}")
     val (timedHits, timedOut) = s3.searchWithTimeout(TQ("window"), 3, BM25(), timeoutMs = 60000)
     println(s"[demo] timed search: ${timedHits.length} hits, timedOut=$timedOut")
+    // "why did doc X score what it scored?" — distributed explain
+    val exQ = graft.search.BoolQ(must = Seq(TQ("window")), should = Seq(TQ("merge")))
+    val exHit = s3.search(exQ, 1, BM25()).head
+    val ex = s3.explain(exQ, exHit.docId, BM25())
+    println(f"[demo] explain doc=${exHit.docId}: value=${ex.value}%.4f == score=${exHit.score}%.4f " +
+      s"consistent=${ex.value == exHit.score}")
+    ex.render().linesIterator.take(4).foreach(l => println(s"[demo]   $l"))
 
     // percolation + highlighting (contrib analogs)
     val mi = new MemoryIndex("streamed window batch text", WhitespaceAnalyzer)
