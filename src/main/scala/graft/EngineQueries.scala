@@ -123,4 +123,25 @@ object EngineQueries {
     * stays a DataFrame (IndexSearcher.matchingDocs — no driver collect). */
   def matchingDocs(spark: SparkSession, sfDir: String, q: Query): DataFrame =
     searcher(spark, sfDir).matchingDocs(q)
+
+  /** Parse with metadata-field dispatch (`lang:en`, `source:src3`), run the
+    * engine part as a distributed match set, and apply the metadata
+    * predicates as Catalyst semi/anti-joins on the source table — the
+    * single-field engine's field-dispatch semantics: index queries score,
+    * metadata fields filter. Both sides stay distributed (the filter side
+    * is a broadcastable narrow projection). */
+  def parsedFieldMatch(spark: SparkSession, sfDir: String, raw: String): DataFrame = {
+    val parsed = graft.search.QueryParser.parse(raw,
+      graft.analysis.WhitespaceAnalyzer, metaFields = Set("lang", "source", "url"))
+    val (engineQ, metaMust, metaNot) = Query.splitMetaFilters(parsed)
+    var hits = matchingDocs(spark, sfDir, engineQ)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def pred(ms: Seq[graft.search.MetaFieldQ]) =
+      ms.map(m => col(m.field) === lit(m.value)).reduce(_ && _)
+    if (metaMust.nonEmpty)
+      hits = hits.join(docs.filter(pred(metaMust)).select(col("doc_id")), "doc_id", "left_semi")
+    if (metaNot.nonEmpty)
+      hits = hits.join(docs.filter(pred(metaNot)).select(col("doc_id")), "doc_id", "left_anti")
+    hits
+  }
 }

@@ -236,6 +236,13 @@ object SparkEntry {
         PayloadNearQ(Seq(SpanTermQ("key"), SpanTermQ("agg")), slop = 0,
           inOrder = true, AvgPayloadFunction), 10)),
 
+    // parser field dispatch: `lang:`/`source:` terms become metadata
+    // predicates (Catalyst semi/anti-joins on the source table), the rest
+    // scores through the index — reference QueryParser per-field dispatch
+    // re-expressed for a single-text-field engine
+    "parsed_field_match" -> ((s, dir) =>
+      EngineQueries.parsedFieldMatch(s, dir, "lang:en -source:src0 batch")),
+
     // stored-field fetch: hits joined to the docmap (url = padded doc_id)
     "doc_fetch" -> ((s, dir) =>
       EngineQueries.topKWithUrls(s, dir,
@@ -404,6 +411,12 @@ object SparkEntry {
     "match_highdf" ->
       s"""$tokCte
          |SELECT DISTINCT doc_id FROM tokf WHERE term = 'batch'""".stripMargin,
+
+    "parsed_field_match" ->
+      s"""$tokCte
+         |SELECT DISTINCT doc_id FROM tokf WHERE term = 'batch'
+         |AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+         |AND doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src0')""".stripMargin,
 
     "prefix_match" ->
       s"""$tokCte

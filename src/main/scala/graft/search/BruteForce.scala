@@ -184,6 +184,10 @@ object BruteForce {
     case mt: MultiTermQ =>
       throw new IllegalStateException(s"multi-term query not expanded: $mt")
 
+    case m: MetaFieldQ =>
+      throw new IllegalStateException(
+        s"metadata field query not resolved against the source table: $m")
+
     case BoolQ(must, should, mustNot, msm) =>
       if (mustNot.exists(n => scoreDoc(n, doc, sim, st, dfm, queryNorm).isDefined)) None
       else {

@@ -160,6 +160,10 @@ object Explain {
       case mt: MultiTermQ =>
         throw new IllegalStateException(s"multi-term query not expanded: $mt")
 
+      case m: MetaFieldQ =>
+        throw new IllegalStateException(
+          s"metadata field query not resolved against the source table: $m")
+
       case BoolQ(must, should, mustNot, msm) =>
         val maxCoord = must.size + should.size
         val mustEx = must.map(rec)

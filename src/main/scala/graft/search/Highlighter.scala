@@ -34,8 +34,9 @@ object Highlighter {
       case FilteredQ(q2, _) => walk(q2, boost) // filter side does not highlight
       case TermSetQ(ts, b) => ts.foreach(add(_, boost * b))
       case sq: SpanQuery => Spans.weightTerms(sq).foreach(add(_, boost * sq.boost))
+      case PayloadTermQ(t, _, _, b) => add(t, boost * b)
       case _: MultiTermQ => () // expand first (reference rewrites first too)
-      case MatchAllQ | _: ValueSourceQ => ()
+      case MatchAllQ | _: ValueSourceQ | _: MetaFieldQ => ()
     }
     walk(q, 1f)
     acc.toMap

@@ -106,6 +106,16 @@ final case class CustomScoreQ(sub: Query, valSrcs: Seq[ValueSource] = Nil,
     boost: Float = 1f,
     provider: CustomScoreProvider = DefaultCustomScoreProvider) extends Query
 
+/** A predicate on a document METADATA field (url/lang/source/...) — the
+  * parser's field-dispatch target for fields that live in the source table
+  * rather than the inverted index (reference QueryParser dispatches per
+  * field, QueryParser.cpp:296-458; this engine is single-text-field, so
+  * metadata predicates stay Catalyst filters on the corpus table and are
+  * applied as a semi/anti-join on the match set — see
+  * EngineQueries.parsedFieldMatch). Must be resolved before reaching the
+  * scorer tree; Query.splitMetaFilters hoists top-level occurrences. */
+final case class MetaFieldQ(field: String, value: String) extends Query
+
 /** Filter with a per-segment memoized match bitset (reference
   * CachingWrapperFilter.cpp:1-155): the wrapped query's match set is
   * computed once per segment and reused across queries — segments are
@@ -210,6 +220,7 @@ object Query {
     // constant-score term sets never touch df — keeping their (possibly
     // 10^4+) terms out of the global-df broadcast is the point
     case _: TermSetQ => Set.empty
+    case _: MetaFieldQ => Set.empty
     case _: MultiTermQ => Set.empty
     case MatchAllQ => Set.empty
   }
@@ -269,6 +280,25 @@ object Query {
       case ts if and => BoolQ(must = ts.map(TermQ(_)))
       case ts => BoolQ(should = ts.map(TermQ(_)))
     }
+  }
+
+  /** Hoist top-level metadata-field predicates out of a parsed query:
+    * (engine query, required meta filters, prohibited meta filters). A
+    * metadata predicate cannot be scored by the inverted index, so a
+    * top-level SHOULD occurrence is promoted to a required filter — the
+    * documented single-field-engine semantics of `lang:en quick fox`.
+    * Nested occurrences (inside parens) are left in place and fail at
+    * scorer construction with a clear error. */
+  def splitMetaFilters(q: Query): (Query, Seq[MetaFieldQ], Seq[MetaFieldQ]) = q match {
+    case BoolQ(must, should, mustNot, msm) =>
+      val (metaMust, m2) = must.partition(_.isInstanceOf[MetaFieldQ])
+      val (metaShould, s2) = should.partition(_.isInstanceOf[MetaFieldQ])
+      val (metaNot, n2) = mustNot.partition(_.isInstanceOf[MetaFieldQ])
+      (rewrite(BoolQ(m2, s2, n2, msm)),
+        (metaMust ++ metaShould).map(_.asInstanceOf[MetaFieldQ]),
+        metaNot.map(_.asInstanceOf[MetaFieldQ]))
+    case m: MetaFieldQ => (MatchAllQ, Seq(m), Nil)
+    case other => (other, Nil, Nil)
   }
 
   /** True if `q` is a flat OR of bare terms — the WAND-eligible shape. */

@@ -19,8 +19,9 @@ import graft.analysis.Analyzer
   * becomes a phrase); wildcard/fuzzy/range terms are lowercased only. */
 object QueryParser {
 
-  def parse(input: String, analyzer: Analyzer): Query = {
-    val p = new Parser(input, analyzer)
+  def parse(input: String, analyzer: Analyzer,
+      metaFields: Set[String] = Set.empty): Query = {
+    val p = new Parser(input, analyzer, metaFields)
     val q = p.parseQuery()
     Query.rewrite(q)
   }
@@ -30,7 +31,8 @@ object QueryParser {
   private case object ConjAnd extends Conj
   private case object ConjOr extends Conj
 
-  private final class Parser(s: String, analyzer: Analyzer) {
+  private final class Parser(s: String, analyzer: Analyzer,
+      metaFields: Set[String]) {
     private var i = 0
 
     def parseQuery(): Query = {
@@ -148,10 +150,16 @@ object QueryParser {
           if (sb.isEmpty) return None
           var text = sb.toString
           var esc = isEsc.toIndexedSeq
-          // strip a field prefix at the first UNescaped ':' (single-field
-          // engine: field names are accepted and ignored)
+          // field prefix at the first UNescaped ':' — a registered METADATA
+          // field (lang:, source:, url:) dispatches to a MetaFieldQ
+          // predicate on the source table (reference QueryParser field
+          // dispatch, QueryParser.cpp:296-458); other field names are
+          // accepted and stripped (single-text-field engine)
           val colon = esc.indices.find(j => text.charAt(j) == ':' && !esc(j)).getOrElse(-1)
           if (colon > 0 && colon < text.length - 1) {
+            val field = text.substring(0, colon)
+            if (metaFields.contains(field))
+              return Some(MetaFieldQ(field, text.substring(colon + 1)))
             text = text.substring(colon + 1)
             esc = esc.drop(colon + 1)
           }

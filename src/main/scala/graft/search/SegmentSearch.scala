@@ -110,6 +110,9 @@ object SegmentSearch {
       boost * boost * ds.map(sumOfSquaredWeights(_, sim, stats, df)).sum
     case mt: MultiTermQ =>
       throw new IllegalStateException(s"multi-term query not expanded: $mt")
+    case m: MetaFieldQ =>
+      throw new IllegalStateException(
+        s"metadata field query not resolved against the source table: $m")
   }
 
   /** Build the scorer tree for one segment; None when a required clause is
@@ -276,6 +279,10 @@ object SegmentSearch {
 
     case mt: MultiTermQ =>
       throw new IllegalStateException(s"multi-term query not expanded: $mt")
+
+    case m: MetaFieldQ =>
+      throw new IllegalStateException(
+        s"metadata field query not resolved against the source table: $m")
 
     case BoolQ(must, should, mustNot, msm) =>
       val maxCoord = must.size + should.size

@@ -118,4 +118,30 @@ class QueryParserSpec extends AnyFunSuite {
     val hits3 = graft.index.LocalIndex.search(dir, p("qu*"), 10, graft.score.BM25())
     assert(hits3.map(_.docId).toSet == Set(0L, 1L))
   }
+
+  test("metadata field dispatch: registered fields become MetaFieldQ, others strip") {
+    import graft.analysis.WhitespaceAnalyzer
+    val q = QueryParser.parse("lang:en -source:src0 batch title:merge",
+      WhitespaceAnalyzer, metaFields = Set("lang", "source"))
+    q match {
+      case BoolQ(Nil, should, Seq(MetaFieldQ("source", "src0")), 0) =>
+        assert(should == Seq(MetaFieldQ("lang", "en"), TermQ("batch"), TermQ("merge")))
+      case other => fail(s"unexpected parse: $other")
+    }
+    // splitter hoists meta predicates; the engine part keeps scoring terms
+    val (engineQ, metaMust, metaNot) = Query.splitMetaFilters(q)
+    assert(metaMust == Seq(MetaFieldQ("lang", "en")))
+    assert(metaNot == Seq(MetaFieldQ("source", "src0")))
+    assert(engineQ == BoolQ(Nil, Seq(TermQ("batch"), TermQ("merge")), Nil, 0))
+    // unregistered fields keep the historical strip behavior
+    val stripped = QueryParser.parse("title:merge", WhitespaceAnalyzer)
+    assert(stripped == TermQ("merge"))
+    // escaped colon is literal, never a field separator
+    val esc = QueryParser.parse("lang\\:en", WhitespaceAnalyzer, metaFields = Set("lang"))
+    assert(esc == TermQ("lang:en"))
+    // bare meta query = filter over all docs
+    val (eq2, mm2, _) = Query.splitMetaFilters(
+      QueryParser.parse("lang:en", WhitespaceAnalyzer, metaFields = Set("lang")))
+    assert(eq2 == MatchAllQ && mm2 == Seq(MetaFieldQ("lang", "en")))
+  }
 }
