@@ -315,7 +315,10 @@ object IndexBuilder {
     def flushSegment(): Unit = {
       if (writer == null) return
       val terms = inv.keySet.toArray(new Array[String](0))
-      java.util.Arrays.sort(terms.asInstanceOf[Array[Object]]) // UTF-16 code-unit order, same as sort path
+      // code-point order — the same order the sortshuffle path's UTF8String
+      // sort produces (TermOrder scaladoc); java.util.Arrays.sort's natural
+      // UTF-16 order would disagree on supplementary-plane terms
+      java.util.Arrays.sort(terms, TermOrder.ordering)
       var t = 0
       while (t < terms.length) {
         val tb = inv.get(terms(t))

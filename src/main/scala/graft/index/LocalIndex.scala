@@ -20,7 +20,8 @@ object LocalIndex {
     val rows = docs.iterator.flatMap { case (id, text) =>
       IndexBuilder.tokenizeDoc(analyzer, IndexBuilder.segIdOf(id, docsPerSegment),
         id, text, storePositions, storePayloads)
-    }.toVector.sortBy(r => (r.segId, r.term, r.docId))
+    }.toVector.sortBy(r => (r.segId, r.term, r.docId))(
+      Ordering.Tuple3(Ordering.Int, TermOrder.ordering, Ordering.Long))
 
     val metas = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
     var writer: SegmentWriter = null
@@ -39,7 +40,7 @@ object LocalIndex {
           docs.filter(d => d._1 >= docBase && d._1 < docBase + docCount)
             .sortBy(_._1).foreach { case (id, text) =>
               val entries = IndexBuilder.tokenizeDoc(analyzer, curSeg, id, text, storePositions)
-                .filter(_.term.nonEmpty).toArray.sortBy(_.term)
+                .filter(_.term.nonEmpty).toArray.sortBy(_.term)(TermOrder.ordering)
               writer.addDocVector((id - docBase).toInt, entries.map(_.term),
                 entries.map(_.freq), entries.map(_.positions))
             }
@@ -70,7 +71,8 @@ object LocalIndex {
         // merged dictionary view: union of per-segment sorted term streams
         val termsFrom = (lower: Option[String]) => {
           val its = readers.map(_.termsFrom(lower).map(_.term))
-          its.foldLeft(Iterator.empty: Iterator[String])(_ ++ _).toSeq.distinct.sorted.iterator
+          its.foldLeft(Iterator.empty: Iterator[String])(_ ++ _).toSeq.distinct
+            .sorted(TermOrder.ordering).iterator
         }
         graft.search.MultiTerm.expand(q0, termsFrom)
       }
@@ -96,7 +98,8 @@ object LocalIndex {
       else {
         val termsFrom = (lower: Option[String]) => {
           val its = readers.map(_.termsFrom(lower).map(_.term))
-          its.foldLeft(Iterator.empty: Iterator[String])(_ ++ _).toSeq.distinct.sorted.iterator
+          its.foldLeft(Iterator.empty: Iterator[String])(_ ++ _).toSeq.distinct
+            .sorted(TermOrder.ordering).iterator
         }
         graft.search.MultiTerm.expand(q0, termsFrom)
       }

@@ -124,7 +124,7 @@ object Maintenance {
     val bases = readers.map(r => (r.meta.docBase - newBase).toInt).toArray
     var live = its.indices.filter(its(_).hasNext).toArray
     while (live.nonEmpty) {
-      val minTerm = live.map(i => its(i).head.term).min
+      val minTerm = live.map(i => its(i).head.term).min(TermOrder.ordering)
       var li = 0
       while (li < live.length) {
         val i = live(li)

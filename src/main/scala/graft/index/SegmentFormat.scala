@@ -207,7 +207,8 @@ final class SegmentWriter(
   }
 
   private def startTerm(term: String): Unit = {
-    require(prevTerm == null || term > prevTerm, s"terms out of order: '$prevTerm' -> '$term'")
+    require(prevTerm == null || TermOrder.gt(term, prevTerm),
+      s"terms out of order (code-point order): '$prevTerm' -> '$term'")
     curTerm = term
     curDf = 0
     curMaxFreq = 0
@@ -460,13 +461,13 @@ final class SegmentReader(val dir: File) {
   /** Binary search the sampled index, then scan ≤ TermIndexInterval entries. */
   def termInfo(term: String): Option[TermInfo] = {
     if (idxTerms.isEmpty) return None
-    // greatest sample <= term
+    // greatest sample <= term (code-point order, matching the dict sort)
     var lo = 0
     var hi = idxTerms.length - 1
-    if (idxTerms(0) > term) return None
+    if (TermOrder.gt(idxTerms(0), term)) return None
     while (lo < hi) {
       val mid = (lo + hi + 1) >>> 1
-      if (idxTerms(mid) <= term) lo = mid else hi = mid - 1
+      if (TermOrder.lteq(idxTerms(mid), term)) lo = mid else hi = mid - 1
     }
     val r = new ByteReader(termsBuf.duplicate())
     r.seek(idxTermsOffsets(lo).toInt)
@@ -485,7 +486,7 @@ final class SegmentReader(val dir: File) {
       val len = r.readVLong()
       val skipB = r.readVInt()
       if (t == term) return Some(TermInfo(t, df, maxFreq, minDlByte, minDl, postingsPos, len, skipB))
-      if (t > term) return None
+      if (TermOrder.gt(t, term)) return None
       postingsPos += len
       prev = t
       scanned += 1
@@ -506,13 +507,14 @@ final class SegmentReader(val dir: File) {
         // greatest sample <= lo (or the first sample)
         var l = 0
         var h = idxTerms.length - 1
-        if (idxTerms(0) < lo) {
+        if (TermOrder.lt(idxTerms(0), lo)) {
           while (l < h) {
             val mid = (l + h + 1) >>> 1
-            if (idxTerms(mid) <= lo) l = mid else h = mid - 1
+            if (TermOrder.lteq(idxTerms(mid), lo)) l = mid else h = mid - 1
           }
         }
-        termsIterAt(idxTermsOffsets(l).toInt, idxPostOffsets(l)).dropWhile(_.term < lo)
+        termsIterAt(idxTermsOffsets(l).toInt, idxPostOffsets(l))
+          .dropWhile(ti => TermOrder.lt(ti.term, lo))
       }
   }
 

@@ -232,9 +232,10 @@ object BruteForce {
     val expanded =
       if (!Query.hasMultiTerm(q0)) q0
       else {
-        val sortedTerms = dfm.keys.toArray.sorted
+        val sortedTerms = dfm.keys.toArray.sorted(graft.index.TermOrder.ordering)
         MultiTerm.expand(q0, lower =>
-          lower.fold(sortedTerms.iterator)(lo => sortedTerms.iterator.dropWhile(_ < lo)))
+          lower.fold(sortedTerms.iterator)(lo =>
+            sortedTerms.iterator.dropWhile(t => graft.index.TermOrder.lt(t, lo))))
       }
     val q = Query.rewrite(expanded)
     val qn = sim.queryNorm(SegmentSearch.sumOfSquaredWeights(q, sim, st, t => dfm.getOrElse(t, 0L)))

@@ -1,5 +1,7 @@
 package graft.search
 
+import graft.index.TermOrder
+
 /** Multi-term expansion: rewrite Prefix/Wildcard/TermRange/Fuzzy nodes into
   * explicit term disjunctions against the index's term dictionary — the
   * reference's FilteredTermEnum + rewrite machinery
@@ -39,15 +41,15 @@ object MultiTerm {
 
   /** Scan-termination check: once true, no later term can match. */
   def pastUpperBound(q: MultiTermQ, term: String): Boolean = q match {
-    case PrefixQ(p, _, _) => !term.startsWith(p) && term > p
+    case PrefixQ(p, _, _) => !term.startsWith(p) && TermOrder.gt(term, p)
     case WildcardQ(pat, _, _) =>
-      seekLowerBound(q).exists(p => !term.startsWith(p) && term > p)
+      seekLowerBound(q).exists(p => !term.startsWith(p) && TermOrder.gt(term, p))
     case TermRangeQ(_, Some(upper), _, incl, _, _) =>
-      if (incl) term > upper else term >= upper
+      if (incl) TermOrder.gt(term, upper) else TermOrder.gteq(term, upper)
     case TermRangeQ(_, None, _, _, _, _) => false
     case FuzzyQ(t, _, pl, _) if pl > 0 =>
       val p = t.substring(0, math.min(pl, t.length))
-      !term.startsWith(p) && term > p
+      !term.startsWith(p) && TermOrder.gt(term, p)
     case _: FuzzyQ => false
   }
 
@@ -58,8 +60,8 @@ object MultiTerm {
     case WildcardQ(pat, boost, _) =>
       if (wildcardMatch(pat, term)) Some(boost) else None
     case TermRangeQ(lower, upper, inclL, inclU, boost, _) =>
-      val okL = lower.forall(l => if (inclL) term >= l else term > l)
-      val okU = upper.forall(u => if (inclU) term <= u else term < u)
+      val okL = lower.forall(l => if (inclL) TermOrder.gteq(term, l) else TermOrder.gt(term, l))
+      val okU = upper.forall(u => if (inclU) TermOrder.lteq(term, u) else TermOrder.lt(term, u))
       if (okL && okU) Some(boost) else None
     case FuzzyQ(target, minSim, prefixLen, boost) =>
       val pl = math.min(prefixLen, math.min(target.length, term.length))
@@ -149,8 +151,10 @@ object MultiTerm {
           // FuzzyQuery.cpp:85-121: keep the best maxClauseCount expansions
           // by similarity boost; ties keep the smaller term. Re-sort by term
           // so float summation order stays the dictionary order.
-          val kept = matched.toSeq.sortBy(tq => (-tq.boost, tq.term))
-            .take(MaxClauseCount).sortBy(_.term)
+          val kept = matched.toSeq
+            .sortBy(tq => (-tq.boost, tq.term))(
+              Ordering.Tuple2(Ordering.Float.TotalOrdering, TermOrder.ordering))
+            .take(MaxClauseCount).sortBy(_.term)(TermOrder.ordering)
           BoolQ(should = kept)
         case _ if matched.size > MaxClauseCount =>
           throw new TooManyClauses(

@@ -245,4 +245,55 @@ class EngineSpec extends AnyFunSuite {
       assertSame(engine, spec, s"run=$run sim=$sim k=$k q=$q")
     }
   }
+
+  test("supplementary-plane terms: code-point order through dict, seek, range, prefix") {
+    // chars around the UTF-16/code-point divergence: surrogate pairs sort
+    // BELOW [U+E000,U+FFFF] in Java's compareTo but ABOVE in code-point
+    // (= UTF-8 byte = reference TermInfosWriter on 32-bit wchar_t) order
+    val sup1 = new String(Character.toChars(0x10000)) // 𐀀
+    val sup2 = new String(Character.toChars(0x1D11E)) // 𝄞
+    val bmpHigh = "\uFFFB"
+    val puaE = "\uE000"
+    val special = Seq("alpha", "zeta", puaE, bmpHigh, sup1, sup2)
+    val texts = special.map(t => s"$t common") ++ Seq("common filler")
+    val dir = indexOf(texts, "whitespace", dps = 3)
+    val corpus = bfCorpus(texts, "whitespace")
+
+    // expected code-point order
+    val expected = Seq("alpha", "common", "filler", "zeta", puaE, bmpHigh, sup1, sup2)
+    val javaOrder = expected.sorted // UTF-16: surrogates before E000
+    assert(javaOrder != expected, "test must exercise the divergence")
+
+    val meta = graft.index.IndexMetaIO.readLatest(dir).get
+    val readers = meta.segments.map(m => new graft.index.SegmentReader(
+      new java.io.File(dir, graft.index.SegmentFormat.segDirName(m.segId))))
+    // 1) per-segment dict iteration is code-point ordered
+    readers.foreach { r =>
+      val ts = r.allTerms.map(_.term).toSeq
+      assert(ts == ts.sorted(graft.index.TermOrder.ordering), s"dict order: $ts")
+    }
+    // 2) every term is seekable through the sampled index
+    special.foreach { t =>
+      assert(readers.exists(_.termInfo(t).isDefined), s"termInfo missed '$t'")
+    }
+    // 3) termsFrom seeks across the surrogate boundary
+    val from = readers.flatMap(_.termsFrom(Some(bmpHigh)).map(_.term))
+      .distinct.sorted(graft.index.TermOrder.ordering)
+    assert(from == Seq(bmpHigh, sup1, sup2), s"termsFrom: $from")
+
+    // 4) range/prefix expansion + search parity across the boundary
+    for (q <- Seq[Query](
+      TermRangeQ(Some(puaE), None, includeLower = true, includeUpper = true),
+      TermRangeQ(Some("zeta"), Some(sup2), includeLower = false, includeUpper = true),
+      TermRangeQ(None, Some(sup1), includeLower = true, includeUpper = false),
+      PrefixQ(sup1.substring(0, 1)), // bare high surrogate prefix
+      BoolQ(should = special.map(TermQ(_))))) {
+      assertSame(LocalIndex.search(dir, q, 10, BM25()),
+        BruteForce.search(corpus, q, 10, BM25()), s"q=$q")
+    }
+    // the boundary range really selects the supplementary terms
+    val hi = LocalIndex.search(dir,
+      TermRangeQ(Some(bmpHigh), None, includeLower = false, includeUpper = true), 10, BM25())
+    assert(hi.map(_.docId).toSet == Set(4L, 5L), s"got ${hi.toSeq}")
+  }
 }

@@ -123,4 +123,36 @@ class SparkIndexSpec extends AnyFunSuite {
     val b = new IndexSearcher(spark, resumed).search(TermQ("w2"), 10, BM25())
     assert(a.toSeq == b.toSeq)
   }
+
+  test("supplementary-plane terms: invert and sortshuffle builds agree on order") {
+    import spark.implicits._
+    val sup1 = new String(Character.toChars(0x10000))
+    val sup2 = new String(Character.toChars(0x1D11E))
+    val texts = Seq(s"alpha $sup1 common", s"\uFFFB zeta common", s"$sup2 \uE000 common",
+      "plain common words")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (f"u$i%04d", t) }.toDF("url", "text")
+    def termsOf(dir: String): Seq[String] = {
+      val meta = IndexMetaIO.readLatest(dir).get
+      meta.segments.flatMap { m =>
+        val r = new SegmentReader(new File(dir, SegmentFormat.segDirName(m.segId)))
+        val ts = r.allTerms.map(_.term).toSeq
+        assert(ts == ts.sorted(TermOrder.ordering), s"dict order in $dir: $ts")
+        ts
+      }
+    }
+    val d1 = tmpDir(); val d2 = tmpDir()
+    IndexBuilder.build(spark, df, IndexConfig(d1, analyzer = "whitespace",
+      docsPerSegment = 2, writeDocMap = false, buildMode = "invert"))
+    IndexBuilder.build(spark, df, IndexConfig(d2, analyzer = "whitespace",
+      docsPerSegment = 2, writeDocMap = false, buildMode = "sortshuffle"))
+    assert(termsOf(d1) == termsOf(d2))
+    // both searchable across the surrogate boundary
+    Seq(d1, d2).foreach { d =>
+      val s2 = new IndexSearcher(spark, d)
+      val hits = s2.search(TermRangeQ(Some("\uFFFB"), None,
+        includeLower = true, includeUpper = true), 10, BM25())
+      assert(hits.map(_.docId).toSet == Set(0L, 1L, 2L), s"$d: ${hits.toSeq}")
+    }
+  }
 }
