@@ -15,12 +15,25 @@ final case class TermQ(term: String, boost: Float = 1f) extends Query
 final case class PhraseQ(terms: Seq[String], slop: Int = 0, boost: Float = 1f) extends Query
 
 /** AND/OR/NOT tree with minimum-should-match
-  * (reference BooleanQuery.cpp / BooleanScorer2.cpp:58-93). */
+  * (reference BooleanQuery.cpp / BooleanScorer2.cpp:58-93). Construction
+  * enforces the reference's add-time clause budget
+  * (BooleanQuery.cpp:60-68 TooManyClauses at maxClauseCount=1024) — the
+  * guard multi-term expansion honors internally now also protects
+  * programmatic query assembly. */
 final case class BoolQ(
     must: Seq[Query] = Nil,
     should: Seq[Query] = Nil,
     mustNot: Seq[Query] = Nil,
-    minShouldMatch: Int = 0) extends Query
+    minShouldMatch: Int = 0) extends Query {
+  require(must.size + should.size + mustNot.size <= BoolQ.MaxClauseCount,
+    s"too many boolean clauses: ${must.size + should.size + mustNot.size} > " +
+      s"maxClauseCount=${BoolQ.MaxClauseCount}")
+}
+
+object BoolQ {
+  /** Reference BooleanQuery::maxClauseCount default. */
+  val MaxClauseCount = 1024
+}
 
 case object MatchAllQ extends Query
 

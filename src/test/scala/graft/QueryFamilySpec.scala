@@ -326,4 +326,17 @@ class QueryFamilySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("boolean clause budget: 1024 allowed, 1025 refused at construction") {
+    val ok = BoolQ(should = (1 to 1024).map(i => TermQ(s"t$i")))
+    assert(ok.should.size == 1024)
+    intercept[IllegalArgumentException] {
+      BoolQ(should = (1 to 1025).map(i => TermQ(s"t$i")))
+    }
+    intercept[IllegalArgumentException] {
+      BoolQ(must = (1 to 512).map(i => TermQ(s"m$i")),
+        should = (1 to 512).map(i => TermQ(s"s$i")),
+        mustNot = Seq(TermQ("n")))
+    }
+  }
 }
