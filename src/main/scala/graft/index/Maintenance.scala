@@ -56,6 +56,11 @@ object Maintenance {
           postingCount += df
         }
         if (termCount != m.termCount) problems += s"termCount $termCount != ${m.termCount}"
+        if (r.hasDeletions) {
+          if (r.delCount > m.docCount) problems += s"delCount ${r.delCount} > docCount"
+          val bits = r.deletionBits
+          if (bits.length > m.docCount) problems += s"del bit beyond docCount: ${bits.length}"
+        }
         if (postingCount != m.postingCount) problems += s"postingCount $postingCount != ${m.postingCount}"
         if (m.hasVectors) {
           // vector sidecar: every doc decodes; freqs sum to the doc length
@@ -103,14 +108,18 @@ object Maintenance {
     val writer = new SegmentWriter(indexDir, newSegId, newBase, docCount, analyzer,
       hasPos, hasVecs, hasPays)
 
-    // norms/doclens (and term vectors, if all inputs carry them) concatenate
+    // norms/doclens (and term vectors, if all inputs carry them)
+    // concatenate. Tombstoned docs keep their id SLOT (docIds are stable
+    // url ranks) but are reclaimed: zero doclen, empty vector, and — below
+    // — no postings; the merged segment carries no del bitset.
     var off = 0
     readers.foreach { r =>
       var i = 0
       while (i < r.meta.docCount) {
-        writer.addDocLength(off + i, r.doclens(i))
+        val dead = r.deleted(i)
+        writer.addDocLength(off + i, if (dead) 0 else r.doclens(i))
         if (hasVecs) {
-          val entries = r.termVector(i).get
+          val entries = if (dead) Seq.empty else r.termVector(i).get
           writer.addDocVector(off + i, entries.map(_._1).toArray,
             entries.map(_._2).toArray, entries.map(_._3).toArray)
         }
@@ -133,9 +142,11 @@ object Maintenance {
           val pi = readers(i).postings(ti, needPositions = hasPos)
           var d = pi.nextDoc()
           while (d != SegmentFormat.NoMoreDocs) {
-            val positions = if (hasPos) pi.positions() else Array.emptyIntArray
-            val pays = if (hasPays) pi.payloads() else null
-            writer.addPosting(minTerm, bases(i) + d, pi.freq, positions, 0, pays)
+            if (!readers(i).deleted(d)) { // reclaim tombstoned postings
+              val positions = if (hasPos) pi.positions() else Array.emptyIntArray
+              val pays = if (hasPays) pi.payloads() else null
+              writer.addPosting(minTerm, bases(i) + d, pi.freq, positions, 0, pays)
+            }
             d = pi.nextDoc()
           }
         }
@@ -180,7 +191,12 @@ object Maintenance {
     val newSegs = (segs.filterNot(s => retired.contains(s.segId)) ++ merged).sortBy(_.docBase)
     val newMeta = IndexMeta(meta.analyzer, newSegs.map(_.docCount.toLong).sum,
       newSegs.map(_.sumDocLength).sum, meta.hasPositions, newSegs)
-    IndexMetaIO.writeCommit(indexDir, newMeta)
+    // carry the deletion generation forward: segments NOT merged may still
+    // hold del bitsets, and searchers key reader caches by delgen
+    val delGen = IndexMetaIO.readLatestWithExtra(indexDir)
+      .flatMap(_._2.get("delgen"))
+    IndexMetaIO.writeCommit(indexDir, newMeta,
+      delGen.map(g => Map("delgen" -> g)).getOrElse(Map.empty))
     // physical cleanup of retired dirs (safe: snapshot no longer lists them)
     retired.foreach { id =>
       val d = new File(indexDir, SegmentFormat.segDirName(id))

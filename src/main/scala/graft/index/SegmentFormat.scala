@@ -34,6 +34,17 @@ final case class TermInfo(term: String, df: Int, maxFreq: Int, minDlByte: Byte,
     minDl: Int, postingsOffset: Long, postingsBytes: Long, skipBytes: Int = 0)
 
 object SegmentFormat {
+
+  /** Atomically publish a segment's deletion bitset (write-tmp + rename —
+    * same discipline as every other segment file). */
+  def writeDeletes(segDir: java.io.File, bits: java.util.BitSet): Unit = {
+    val tmp = new java.io.File(segDir, "del.bin.tmp")
+    java.nio.file.Files.write(tmp.toPath, bits.toByteArray)
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(segDir, "del.bin").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Postings per block; also the term-index sampling interval
     * (SURVEY.md §7.3; reference term-index interval 128 —
     * /root/reference/src/core/index/IndexWriter.cpp:64). */
@@ -387,6 +398,23 @@ final class SegmentReader(val dir: File) {
   private val termsBuf = mmap(new File(dir, "terms.bin"))
   private val postingsBuf = mmap(new File(dir, "postings.bin"))
   val norms: Array[Byte] = Files.readAllBytes(new File(dir, "norms.bin").toPath)
+
+  // deletion sidecar — the reference's .del BitVector
+  // (/root/reference/src/core/util/BitVector.cpp, SegmentReader loads it at
+  // open): docIds stay STABLE (url ranks); deleted docs are tombstoned out
+  // of every result and their postings reclaimed at the next merge
+  private val delBits: java.util.BitSet = {
+    val f = new File(dir, "del.bin")
+    if (!f.exists()) null
+    else java.util.BitSet.valueOf(Files.readAllBytes(f.toPath))
+  }
+  val hasDeletions: Boolean = delBits != null && !delBits.isEmpty
+  @inline def deleted(localDoc: Int): Boolean = hasDeletions && delBits.get(localDoc)
+  def delCount: Int = if (delBits == null) 0 else delBits.cardinality()
+  /** Copy of the deletion bitset (empty when none) — for delete-accumulation. */
+  def deletionBits: java.util.BitSet =
+    if (delBits == null) new java.util.BitSet(meta.docCount)
+    else delBits.clone().asInstanceOf[java.util.BitSet]
   val doclens: Array[Int] = {
     val r = new ByteReader(Files.readAllBytes(new File(dir, "doclens.bin").toPath))
     Array.fill(meta.docCount)(r.readVInt())

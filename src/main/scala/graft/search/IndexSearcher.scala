@@ -23,11 +23,17 @@ object ReaderCache {
             e: java.util.Map.Entry[String, SegmentReader]): Boolean =
           size() > MaxReaders
       })
+  /** `segDir` may carry a cache-busting `#<delGen>` suffix: the filesystem
+    * path is everything before '#', the full string is the cache key — a
+    * delete batch bumps the generation so every executor re-opens the
+    * segment and sees the new del bitset (the reference's reopen-to-see-
+    * deletes semantics). */
   def get(segDir: String): SegmentReader = {
     val hit = cache.get(segDir)
     if (hit != null) hit
     else {
-      val r = new SegmentReader(new File(segDir))
+      val path = { val h = segDir.indexOf('#'); if (h < 0) segDir else segDir.substring(0, h) }
+      val r = new SegmentReader(new File(path))
       cache.put(segDir, r)
       r
     }
@@ -87,8 +93,19 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
     .getOrElse(throw new IllegalStateException(s"no committed index at $indexDir"))
   val stats: CorpusStats = CorpusStats(meta.numDocs, meta.avgDocLength)
 
+  /** Deletion generation of the snapshot this searcher opened — baked into
+    * every reader-cache key so executors re-open segments after a delete
+    * batch. Scoring stats (df, N, avgdl) deliberately keep counting
+    * tombstoned docs until a merge reclaims them, as the reference does. */
+  private val delGen: Int = IndexMetaIO.readLatestWithExtra(indexDir)
+    .flatMap(_._2.get("delgen")).map(_.toInt).getOrElse(0)
+
+  private def cacheKey(path: String): String =
+    if (delGen == 0) path else s"$path#$delGen"
+
   private val segDirs: Seq[String] =
-    meta.segments.map(m => new File(indexDir, SegmentFormat.segDirName(m.segId)).getPath)
+    meta.segments.map(m =>
+      cacheKey(new File(indexDir, SegmentFormat.segDirName(m.segId)).getPath))
 
   /** Global document frequencies for a term set: sum of per-segment df.
     * Exact (the reference's df is exact too — SURVEY.md §2.4). */
@@ -225,6 +242,7 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
           case Some(s) =>
             Iterator.continually(s.nextDoc())
               .takeWhile(_ != Scorer.NoMoreDocs)
+              .filter(d => !reader.deleted(d))
               .map(d => docBase + d)
         }
       }
@@ -244,8 +262,8 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
     val segMeta = meta.segments.find(m =>
       docId >= m.docBase && docId < m.docBase + m.docCount)
       .getOrElse(return Explanation(0.0, s"doc $docId not in index", matched = false))
-    val segDir = new File(indexDir,
-      graft.index.SegmentFormat.segDirName(segMeta.segId)).getPath
+    val segDir = cacheKey(new File(indexDir,
+      graft.index.SegmentFormat.segDirName(segMeta.segId)).getPath)
     val st = stats
     val sc = spark.sparkContext
     val bcQ = sc.broadcast(q)
@@ -261,6 +279,56 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
     bcQ.destroy()
     bcDf.destroy()
     out
+  }
+
+  /** Delete every doc matching `q` — the reference's
+    * IndexReader::deleteDocuments re-expressed: one task per segment ORs
+    * the match set into the segment's del bitset (atomic write), the
+    * driver then snapshots a bumped deletion generation so subsequently
+    * OPENED searchers see the deletes (this searcher's snapshot is
+    * unchanged, like the reference's point-in-time readers). DocIDs stay
+    * stable; space is reclaimed at the next merge. Returns the number of
+    * docs newly deleted. */
+  def deleteDocs(q0: Query): Long = {
+    val q = Query.rewrite(expandQueries(Seq("q" -> q0)).head._2)
+    val dfMap = globalDf(Query.allTerms(q))
+    val sc = spark.sparkContext
+    val bcDf = sc.broadcast(dfMap)
+    val bcQ = sc.broadcast(q)
+    val st = stats
+    val newly = sc.parallelize(segDirs, math.max(1, segDirs.size))
+      .map { dir =>
+        val reader = ReaderCache.get(dir)
+        val df = (t: String) => bcDf.value.getOrElse(t, 0L)
+        val sim: Similarity = graft.score.BM25()
+        val bits = reader.deletionBits
+        val before = bits.cardinality()
+        val qn = sim.queryNorm(SegmentSearch.sumOfSquaredWeights(bcQ.value, sim, st, df))
+        SegmentSearch.scorer(bcQ.value, reader, sim, st, df, qn).foreach { s =>
+          var d = s.nextDoc()
+          while (d != Scorer.NoMoreDocs) { bits.set(d); d = s.nextDoc() }
+        }
+        val added = bits.cardinality() - before
+        if (added > 0) SegmentFormat.writeDeletes(reader.dir, bits)
+        added.toLong
+      }
+      .collect().sum
+    bcQ.destroy()
+    bcDf.destroy()
+    if (newly > 0) {
+      // bump the deletion generation in a fresh snapshot (meta unchanged)
+      val (m, extra) = IndexMetaIO.readLatestWithExtra(indexDir).get
+      val gen = extra.get("delgen").map(_.toInt).getOrElse(0) + 1
+      IndexMetaIO.writeCommit(indexDir, m, extra + ("delgen" -> gen.toString))
+    }
+    newly
+  }
+
+  /** Live (non-tombstoned) doc count — numDocs minus deletions. */
+  def liveDocCount(): Long = {
+    val sc = spark.sparkContext
+    meta.numDocs - sc.parallelize(segDirs, math.max(1, segDirs.size))
+      .map(dir => ReaderCache.get(dir).delCount.toLong).collect().sum
   }
 
   def searchBatch(queries0: Seq[(String, Query)], k: Int, sim: Similarity,

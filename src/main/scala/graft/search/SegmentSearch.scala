@@ -369,10 +369,14 @@ object SegmentSearch {
       case _ =>
         val qn = sim.queryNorm(sumOfSquaredWeights(q, sim, stats, df))
         val timed = deadlineNanos != Long.MaxValue
+        val hasDel = reader.hasDeletions
         scorer(q, reader, sim, stats, df, qn).foreach { s =>
           var d = s.nextDoc()
           while (d != Scorer.NoMoreDocs && !timedOut) {
-            collector.collect(s.score(), docBase + d)
+            // tombstoned docs never reach the collector (the reference
+            // filters deleted docs out of TermDocs; one gate at collection
+            // is result-equivalent and keeps the scorers branch-free)
+            if (!hasDel || !reader.deleted(d)) collector.collect(s.score(), docBase + d)
             // reference TimeLimitingCollector checks the budget per collect
             if (timed && System.nanoTime() > deadlineNanos) timedOut = true
             else d = s.nextDoc()
@@ -409,6 +413,7 @@ object SegmentSearch {
 
     val norms = reader.norms
     val doclens = reader.doclens
+    val hasDel = reader.hasDeletions
     // order = iterator indices sorted by current docID; maintained by
     // insertion sort each round (m is small, order is nearly sorted, no
     // allocation per round)
@@ -466,7 +471,15 @@ object SegmentSearch {
             }
             bi += 1
           }
-          if (blockAcc >= theta) {
+          if (hasDel && reader.deleted(pivot)) {
+            // tombstoned pivot: advance past it without scoring
+            var j = 0
+            while (j <= p && j < m) {
+              val it = pis(order(j))
+              if (it.docID == pivot) it.nextDoc()
+              j += 1
+            }
+          } else if (blockAcc >= theta) {
             // evaluate fully, summing in ORIGINAL clause order for float
             // determinism vs the exhaustive scorer
             var s = 0.0

@@ -88,6 +88,13 @@ object Demo {
       s"consistent=${ex.value == exHit.score}")
     ex.render().linesIterator.take(4).foreach(l => println(s"[demo]   $l"))
 
+    // deletes: tombstone by query, reopen-to-see, stable docIds
+    val delCount = s3.deleteDocs(TQ("spark"))
+    val s3b = new IndexSearcher(spark, dir)
+    println(s"[demo] deleted $delCount docs matching 'spark'; " +
+      s"live=${s3b.liveDocCount()}/${s3b.meta.numDocs}; " +
+      s"reopened 'spark' hits=${s3b.search(TQ("spark"), 5, BM25()).length}")
+
     // percolation + highlighting (contrib analogs)
     val mi = new MemoryIndex("streamed window batch text", WhitespaceAnalyzer)
     println(s"[demo] memory-index percolation 'window AND batch': " +

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IndexBuilder, IndexConfig, Maintenance}
+import graft.score.BM25
+import graft.search._
+
+/** Deletes — the reference's .del BitVector semantics re-expressed
+  * (/root/reference/src/core/util/BitVector.cpp; SegmentReader loads the
+  * bitset at open, deleted docs vanish from every result, space is
+  * reclaimed at merge, readers are point-in-time). Tombstone model: docIDs
+  * stay stable (url ranks), so no docmap rewrite. */
+class DeleteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def buildIndex(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-del").toString
+    val df = texts.zipWithIndex.map { case (t, i) => (f"u$i%05d", t) }.toDF("url", "text")
+    IndexBuilder.build(spark, df, IndexConfig(dir, analyzer = "whitespace",
+      docsPerSegment = 4, writeDocMap = false))
+    dir
+  }
+
+  test("delete by query: excluded from topk/wand/match; point-in-time readers; reclaim at merge") {
+    val texts = (0 until 20).map { i =>
+      val tag = if (i % 3 == 0) "redink" else "keepme"
+      s"$tag common w$i payloadless"
+    }
+    val dir = buildIndex(texts)
+    ReaderCache.clear()
+
+    val s1 = new IndexSearcher(spark, dir)
+    val beforeHits = s1.search(TermQ("redink"), 20, BM25())
+    assert(beforeHits.length == 7) // i = 0,3,6,9,12,15,18
+    val keepBefore = s1.search(TermQ("keepme"), 20, BM25())
+
+    // delete all 'redink' docs
+    val deleted = s1.deleteDocs(TermQ("redink"))
+    assert(deleted == 7)
+    // idempotent: deleting again removes nothing new
+    val s2 = new IndexSearcher(spark, dir)
+    assert(s2.deleteDocs(TermQ("redink")) == 0)
+
+    // a NEWLY opened searcher sees the deletes, on both scorer paths
+    val s3 = new IndexSearcher(spark, dir)
+    assert(s3.search(TermQ("redink"), 20, BM25(), useWand = false).isEmpty)
+    assert(s3.search(TermQ("redink"), 20, BM25(), useWand = true).isEmpty)
+    assert(s3.matchingDocs(TermQ("redink")).count() == 0)
+    // 'common' matches only the live docs now
+    assert(s3.matchingDocs(TermQ("common")).count() == 13)
+    assert(s3.liveDocCount() == 13)
+    // scoring stats keep counting tombstones until merge (reference
+    // semantics): surviving docs' scores are unchanged
+    val keepAfter = s3.search(TermQ("keepme"), 20, BM25())
+    assert(keepAfter.toSeq == keepBefore.toSeq)
+
+    // the ORIGINAL searcher is a point-in-time snapshot: still sees them
+    assert(s1.search(TermQ("redink"), 20, BM25()).length == 7)
+
+    // WAND over a mixed disjunction never returns a tombstoned doc
+    val mix = s3.search(BoolQ(should = Seq(TermQ("redink"), TermQ("keepme"))), 20, BM25())
+    assert(mix.map(_.docId).toSet == keepAfter.map(_.docId).toSet)
+
+    // merge reclaims: postings of deleted docs dropped, df updated,
+    // id slots preserved, checkIndex green
+    val metaBefore = graft.index.IndexMetaIO.readLatest(dir).get
+    Maintenance.compact(spark, dir, Int.MaxValue)
+    ReaderCache.clear()
+    val metaAfter = graft.index.IndexMetaIO.readLatest(dir).get
+    assert(metaAfter.numDocs == metaBefore.numDocs) // slots stay
+    assert(metaAfter.sumDocLength < metaBefore.sumDocLength) // content gone
+    val s4 = new IndexSearcher(spark, dir)
+    assert(s4.search(TermQ("redink"), 20, BM25()).isEmpty)
+    assert(s4.globalDf(Set("redink", "common")) ==
+      Map("common" -> 13L)) // fully-deleted term vanishes from the dict
+    assert(s4.matchingDocs(TermQ("common")).count() == 13)
+    val checks = Maintenance.checkIndex(spark, dir)
+    assert(checks.forall(_.ok), checks.filterNot(_.ok).toString)
+  }
+
+  test("delete accumulates across batches and composite queries") {
+    val texts = Seq("aa x", "bb x", "cc x", "aa bb x", "dd x")
+    val dir = buildIndex(texts)
+    ReaderCache.clear()
+    val s1 = new IndexSearcher(spark, dir)
+    assert(s1.deleteDocs(TermQ("aa")) == 2)
+    val s2 = new IndexSearcher(spark, dir)
+    assert(s2.deleteDocs(PhraseQ(Seq("bb", "x"))) == 1) // doc 1 only (doc 3 already dead)
+    val s3 = new IndexSearcher(spark, dir)
+    assert(s3.liveDocCount() == 2)
+    assert(s3.matchingDocs(TermQ("x")).count() == 2)
+    assert(s3.search(TermQ("x"), 10, BM25()).map(_.docId).toSet == Set(2L, 4L))
+  }
+}
