@@ -282,6 +282,18 @@ object SparkEntry {
     "token_count" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
     "fingerprint" -> ((s, dir) => TextOps.fingerprint(tbl(s, dir, "documents"))),
 
+    // HTML text extraction: synthesize the north-rule schema's html column
+    // (head/title/script wrapper around text), strip it through
+    // HtmlStripCharFilter, count tokens — title contributes exactly
+    // "Doc <id>", script/tags contribute nothing
+    "html_strip" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      TextOps.htmlTokenCounts(docs.select(col("doc_id"),
+        concat(lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><script>var x = \"<p>\";</script></head><body><p>"),
+          col("text"), lit("</p><!-- footer --></body></html>")).as("html")))
+    }),
+
     // -- multimodal plumbing (binary payload → batched stub decode)
     "multimodal_stub" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.eventsAsMedia(tbl(s, dir, "events")))
@@ -514,6 +526,11 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens
+        |FROM documents""".stripMargin,
+
+    "html_strip" ->
+      """SELECT doc_id,
+        |(len(list_filter(string_split(text, ' '), x -> x <> '')) + 2)::BIGINT AS html_tokens
         |FROM documents""".stripMargin,
 
     "fingerprint" ->

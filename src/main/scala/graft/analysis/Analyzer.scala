@@ -281,6 +281,7 @@ object Analyzer {
     case "delimited" => DelimitedPayloadAnalyzer
     case NGramName(lo, hi) => NGramAnalyzer(lo.toInt, hi.toInt)
     case EdgeName(lo, hi, back) => EdgeNGramAnalyzer(lo.toInt, hi.toInt, back != null)
+    case html if html.startsWith("html-") => HtmlStripAnalyzer(byName(html.drop(5)))
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }

@@ -70,6 +70,22 @@ object TextOps {
       size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
         .cast("long").as("re_tokens"))
 
+  /** Token counts of raw HTML documents through the strip-and-tokenize
+    * front-end (HtmlStripCharFilter + whitespace chain) — the text
+    * extraction step of the north-rule schema's `html` column. Typed
+    * `mapPartitions` with per-partition analyzer init (same shape as the
+    * index build's tokenize stage): a narrow map, no shuffle, scales
+    * embarrassingly. */
+  def htmlTokenCounts(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("html")).as[(Long, String)]
+      .mapPartitions { it =>
+        val an = graft.analysis.HtmlStripAnalyzer(graft.analysis.WhitespaceAnalyzer)
+        it.map { case (id, html) => (id, an.analyze(html).size.toLong) }
+      }.toDF("doc_id", "html_tokens")
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text —
     * exact-dedup key (md5 is identical in Spark and DuckDB). */
   def fingerprint(docs: DataFrame): DataFrame =

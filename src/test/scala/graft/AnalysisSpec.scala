@@ -246,4 +246,60 @@ class AnalysisSpec extends AnyFunSuite {
     assert(fold("łódź") == "lodz")
     assert(fold("plain") == "plain")
   }
+
+  test("mapping char filter: reference MappingCharFilterTest fixtures incl. offsets") {
+    import graft.analysis.{CharFilteredAnalyzer, MappingCharFilter, NormalizeCharMap, WhitespaceAnalyzer}
+    val map = new NormalizeCharMap
+    map.add("aa", "a"); map.add("bbb", "b"); map.add("cccc", "cc")
+    map.add("h", "i"); map.add("j", "jj"); map.add("k", "kkk"); map.add("ll", "llll")
+    map.add("empty", "")
+    val an = CharFilteredAnalyzer(Seq(MappingCharFilter(map)), WhitespaceAnalyzer)
+
+    def toks(text: String): Seq[(String, Int, Int)] =
+      an.analyze(text).map(t => (t.term, t.start, t.end)).toSeq
+
+    // MappingCharFilterTest.cpp: terms + (start, end) offsets in the
+    // ORIGINAL text
+    assert(toks("x") == Seq(("x", 0, 1)))               // testNothingChange
+    assert(toks("h") == Seq(("i", 0, 1)))               // test1to1
+    assert(toks("j") == Seq(("jj", 0, 1)))              // test1to2
+    assert(toks("k") == Seq(("kkk", 0, 1)))             // test1to3
+    assert(toks("ll") == Seq(("llll", 0, 2)))           // test2to4
+    assert(toks("aa") == Seq(("a", 0, 2)))              // test2to1
+    assert(toks("bbb") == Seq(("b", 0, 3)))             // test3to1
+    assert(toks("cccc") == Seq(("cc", 0, 4)))           // test4to2
+    assert(toks("empty") == Seq.empty)                  // test5to0
+
+    // testTokenStream: "h i j k ll cccc bbb aa" (offsets from the
+    // commented table at the bottom of MappingCharFilterTest.cpp)
+    assert(toks("h i j k ll cccc bbb aa") == Seq(
+      ("i", 0, 1), ("i", 2, 3), ("jj", 4, 5), ("kkk", 6, 7),
+      ("llll", 8, 10), ("cc", 11, 15), ("b", 16, 19), ("a", 20, 22)))
+  }
+
+  test("html strip char filter: tags, entities, script/comment blocks, offsets") {
+    import graft.analysis.{HtmlStripAnalyzer, WhitespaceAnalyzer}
+    val an = HtmlStripAnalyzer(WhitespaceAnalyzer)
+    def terms(text: String): Seq[String] = an.analyze(text).map(_.term).toSeq
+
+    assert(terms("<p>hello world</p>") == Seq("hello", "world"))
+    assert(terms("<a href=\"x.html\">link</a> text") == Seq("link", "text"))
+    assert(terms("a<!-- hidden comment -->b c") == Seq("a", "b", "c"))
+    assert(terms("x <script>var a = \"<p>\";</script> y") == Seq("x", "y"))
+    assert(terms("x <style>.c { color: red }</style> y") == Seq("x", "y"))
+    assert(terms("fish &amp; chips &lt;3") == Seq("fish", "&", "chips", "<3"))
+    assert(terms("&#65;&#x42;C") == Seq("ABC"))
+    assert(terms("unterminated &am p") == Seq("unterminated", "&am", "p"))
+
+    // offsets index the ORIGINAL html: "link" sits at 18..22 in
+    // <a href="x.html">link</a>
+    val html = "<a href=\"x.html\">link</a>"
+    val tok = an.analyze(html).next()
+    assert(tok.term == "link")
+    assert(html.substring(tok.start, tok.end) == "link")
+
+    // byName round-trip for index metadata
+    assert(graft.analysis.Analyzer.byName("html-whitespace").analyze(
+      "<b>bold</b> move").map(_.term).toSeq == Seq("bold", "move"))
+  }
 }
