@@ -281,6 +281,14 @@ object Analyzer {
     case "delimited" => DelimitedPayloadAnalyzer
     case NGramName(lo, hi) => NGramAnalyzer(lo.toInt, hi.toInt)
     case EdgeName(lo, hi, back) => EdgeNGramAnalyzer(lo.toInt, hi.toInt, back != null)
+    case "cjk" => CJKAnalyzer
+    case "chinese" => ChineseAnalyzer
+    case "german" => GermanAnalyzer()
+    case "arabic" => ArabicAnalyzer
+    case "persian" => PersianAnalyzer
+    case "greek" => GreekAnalyzer
+    case "czech" => CzechAnalyzer
+    case "french-elision" => FrenchElisionAnalyzer()
     case html if html.startsWith("html-") => HtmlStripAnalyzer(byName(html.drop(5)))
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
