@@ -289,6 +289,9 @@ object Analyzer {
     case "greek" => GreekAnalyzer
     case "czech" => CzechAnalyzer
     case "french-elision" => FrenchElisionAnalyzer()
+    case "french" => FrenchAnalyzer()
+    case "dutch" => DutchAnalyzer()
+    case "russian" => RussianAnalyzer
     case html if html.startsWith("html-") => HtmlStripAnalyzer(byName(html.drop(5)))
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
