@@ -292,6 +292,7 @@ object Analyzer {
     case "french" => FrenchAnalyzer()
     case "dutch" => DutchAnalyzer()
     case "russian" => RussianAnalyzer
+    case "brazilian" => BrazilianAnalyzer()
     case html if html.startsWith("html-") => HtmlStripAnalyzer(byName(html.drop(5)))
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
