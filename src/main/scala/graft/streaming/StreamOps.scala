@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.analysis.Analyzer
+
+/** Streaming analytics over the web-page / event streams — the Structured
+  * Streaming shapes a crawl pipeline needs beyond index ingestion
+  * (StreamingIndexer): watermarked event-time window aggregation and
+  * custom session state via flatMapGroupsWithState. Both are pure
+  * plan-builders: callers plug any streaming source/sink. */
+object StreamOps {
+
+  /** Event-time windowed term frequencies over a streaming pages table
+    * `(url, warc_ts timestamp, text)`: tokenize with the engine's analyzer
+    * (per-partition init, same as the index build), then a watermarked
+    * tumbling-window count. Late rows beyond `watermark` are dropped by
+    * Spark's state eviction — state stays bounded no matter how long the
+    * stream runs, which is what makes this viable on an endless crawl. */
+  def windowedTermCounts(pages: DataFrame, analyzerName: String = "standard",
+      windowDur: String = "10 minutes", watermark: String = "5 minutes"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val toks = pages.select(col("warc_ts"), col("text")).as[(Timestamp, String)]
+      .mapPartitions { it =>
+        val analyzer = Analyzer.byName(analyzerName)
+        it.flatMap { case (ts, text) => analyzer.analyze(text).map(t => (ts, t.term)) }
+      }.toDF("warc_ts", "term")
+    toks
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), windowDur), col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .select(col("window.start").as("win_start"), col("term"), col("freq"))
+  }
+
+  final case class Event(userId: Long, ts: Timestamp)
+  final case class SessionState(start: Long, end: Long, events: Int)
+  final case class Session(userId: Long, startMs: Long, endMs: Long,
+      events: Int, closed: Boolean)
+
+  /** Sessionize a user event stream: events of one user belong to the same
+    * session while gaps stay under `gapMs`; a session closes when the
+    * event-time watermark passes its end + gap (GroupStateTimeout
+    * .EventTimeTimeout — the mapGroupsWithState pattern for custom state
+    * the brief calls out). Emits a closed Session per timeout; in-progress
+    * sessions emit nothing (Append semantics). */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      watermark: String = "10 seconds"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.end, s.events, closed = true))
+          } else {
+            val times = rows.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[Session]
+            var st = state.getOption.getOrElse(
+              SessionState(times.head, times.head, 0))
+            times.foreach { t =>
+              if (t - st.end > gapMs) {
+                // gap inside the batch: the old session closes immediately
+                closed = Session(userId, st.start, st.end, st.events,
+                  closed = true) :: closed
+                st = SessionState(t, t, 1)
+              } else {
+                st = SessionState(math.min(st.start, t), math.max(st.end, t),
+                  st.events + 1)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.end + gapMs)
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -55,4 +55,74 @@ class StreamingSpec extends AnyFunSuite {
       assert(hits.length == 3)
     } finally q.stop()
   }
+
+  test("windowed term counts: watermark drops late rows, windows close") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+
+    val in = MemoryStream[(String, java.sql.Timestamp, String)]
+    val counts = graft.streaming.StreamOps.windowedTermCounts(
+      in.toDF().toDF("url", "warc_ts", "text"),
+      analyzerName = "whitespace", windowDur = "10 minutes", watermark = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("wtc")
+      .outputMode("append").start()
+    try {
+      in.addData(("u1", ts(1), "spark window"), ("u2", ts(4), "spark merge"))
+      q.processAllAvailable()
+      // advance the watermark past the first window's end (10m + 5m)
+      in.addData(("u3", ts(16), "later batch"))
+      q.processAllAvailable()
+      // one more nudge so the closed window is emitted
+      in.addData(("u4", ts(30), "even later"))
+      q.processAllAvailable()
+      val rows = spark.table("wtc").as[(java.sql.Timestamp, String, Long)]
+        .collect().map { case (w, t, f) => (w.getTime / 60000, t, f) }.toSet
+      assert(rows.contains((0L, "spark", 2L)), rows)
+      assert(rows.contains((0L, "window", 1L)) && rows.contains((0L, "merge", 1L)))
+      // a LATE row for the closed first window is dropped by the watermark
+      in.addData(("u5", ts(2), "spark straggler"))
+      q.processAllAvailable()
+      in.addData(("u6", ts(45), "tick"))
+      q.processAllAvailable()
+      val after = spark.table("wtc").as[(java.sql.Timestamp, String, Long)]
+        .collect().map { case (w, t, f) => (w.getTime / 60000, t, f) }.toSet
+      assert(after.count(_._2 == "spark") == rows.count(_._2 == "spark"),
+        s"late row was not dropped: $after")
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based sessions close on event-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    // keep event times away from epoch 0: a ts equal to the initial
+    // watermark is treated as late by the stateful operator
+    def ev(u: Long, sec: Int) = StreamOps.Event(u, new java.sql.Timestamp((100 + sec) * 1000L))
+
+    val in = MemoryStream[StreamOps.Event]
+    val sessions = StreamOps.sessionize(in.toDS(), gapMs = 30000L, watermark = "10 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5s apart; user 2: one event
+      in.addData(ev(1, 0), ev(1, 5), ev(2, 3))
+      q.processAllAvailable()
+      // in-batch gap: user 1's next event 100s later closes the first session
+      in.addData(ev(1, 105))
+      q.processAllAvailable()
+      val mid = spark.table("sess").as[StreamOps.Session].collect()
+      assert(mid.exists(s => s.userId == 1 && s.startMs == 100000 && s.endMs == 105000 && s.events == 2), mid.toSeq)
+      // push the watermark far ahead: remaining sessions time out
+      in.addData(ev(3, 1000))
+      q.processAllAvailable()
+      in.addData(ev(3, 2000))
+      q.processAllAvailable()
+      val all = spark.table("sess").as[StreamOps.Session].collect()
+      assert(all.exists(s => s.userId == 2 && s.events == 1 && s.closed), all.toSeq)
+      assert(all.exists(s => s.userId == 1 && s.startMs == 205000 && s.closed), all.toSeq)
+    } finally q.stop()
+  }
 }
