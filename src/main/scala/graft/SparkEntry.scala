@@ -276,6 +276,11 @@ object SparkEntry {
       Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 5)
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 5)
+    }),
+
     // -- text analysis
     "lang_id" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
     "quality" -> ((s, dir) => TextOps.qualityScore(tbl(s, dir, "documents"))),

@@ -108,4 +108,79 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
   }
+
+  /** ANN via an IVF (inverted-file) coarse quantizer — the other standard
+    * scale path next to [[lshTopK]]: k-means centroids partition the
+    * corpus into `clusters` cells; a query scans only its `nprobe` nearest
+    * cells. Training is deterministic Lloyd iterations (centroids
+    * initialized from the k lowest vec_ids, element-wise means via one
+    * groupBy per iteration — centroid matrix is k x dim doubles, tiny on
+    * the driver); assignment and search are codegen'd expressions over
+    * broadcast centroid literals. Recall < 1 by construction (report
+    * alongside brute force, like LSH). */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      dim: Int = 64, clusters: Int = 16, nprobe: Int = 4,
+      iters: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+
+    def centroidCos(v: Column, c: Array[Double]): Column =
+      cosine(v, typedLit(c.toSeq))
+    def assignExpr(cs: Array[Array[Double]]): Column = {
+      val sims = array(cs.map(c => centroidCos(col("embedding"), c)): _*)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+
+    // deterministic seed: the k lowest-id vectors
+    var centroids: Array[Array[Double]] = embeddings
+      .orderBy("vec_id").limit(clusters)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    var it = 0
+    while (it < iters) {
+      val assigned = embeddings.select(col("vec_id"), col("embedding"),
+        assignExpr(centroids).as("cluster"))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty cells keep their centroid
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+      it += 1
+    }
+
+    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+      assignExpr(centroids).as("cluster"))
+
+    // probe list per query: nprobe closest centroids, computed driver-side
+    // (the query set is the small broadcast side by construction)
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val probes = qRows.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex.map { case (c, ci) => (qid, ci, cos(qv, c)) }
+        .sortBy(-_._3).take(nprobe).map(p => (p._1, p._2))
+    }.toSeq
+    import spark.implicits._
+    val probeDf = probes.toDF("query_id", "cluster")
+
+    val cands = assigned.join(broadcast(probeDf), "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
 }

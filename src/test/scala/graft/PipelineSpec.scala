@@ -76,6 +76,12 @@ class PipelineSpec extends AnyFunSuite {
     val lsh = Ann.lshTopK(emb, q, k = 1, dim = 16, bits = 6, tables = 8)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(lsh == brute, s"LSH missed planted neighbors: $lsh")
+
+    // IVF with enough probes finds the same planted neighbors: each
+    // perturbed copy lands in (or next to) its base's cell
+    val ivf = Ann.ivfTopK(emb, q, k = 1, dim = 16, clusters = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == brute, s"IVF missed planted neighbors: $ivf")
   }
 
   test("multimodal stub: deterministic checksums over binary payloads") {
