@@ -73,7 +73,13 @@ object StreamingIndexer {
         allSegs.map(_.docCount.toLong).sum,
         allSegs.map(_.sumDocLength).sum,
         storePositions, allSegs)
-      val extra = if (batchId >= 0) Map(BatchKey -> batchId.toString) else Map.empty[String, String]
+      // carry the deletion generation forward: searchers key reader caches
+      // by delgen, and a snapshot that dropped it would resurrect stale
+      // pre-delete cached readers (same rule as Maintenance.compact)
+      val delGen = prior.flatMap(_._2.get("delgen"))
+        .map(g => Map("delgen" -> g)).getOrElse(Map.empty[String, String])
+      val extra = (if (batchId >= 0) Map(BatchKey -> batchId.toString)
+        else Map.empty[String, String]) ++ delGen
       IndexMetaIO.writeCommit(indexDir, meta, extra)
       meta
     } finally sortedBase.unpersist()

@@ -101,4 +101,22 @@ class DeleteSpec extends AnyFunSuite {
     assert(s3.matchingDocs(TermQ("x")).count() == 2)
     assert(s3.search(TermQ("x"), 10, BM25()).map(_.docId).toSet == Set(2L, 4L))
   }
+
+  test("streaming append after deletes preserves the deletion generation") {
+    import spark.implicits._
+    val texts = Seq("gone x", "stay x", "gone x y", "stay y")
+    val dir = buildIndex(texts)
+    ReaderCache.clear()
+    val s1 = new IndexSearcher(spark, dir)
+    assert(s1.deleteDocs(TermQ("gone")) == 2)
+    // an NRT append commits a new snapshot; the delgen must survive it
+    graft.streaming.StreamingIndexer.appendBatch(spark,
+      Seq(("zzz-new", "fresh x")).toDF("url", "text"),
+      dir, analyzer = "whitespace", docsPerSegment = 4, batchId = 0)
+    val s2 = new IndexSearcher(spark, dir)
+    assert(s2.meta.numDocs == 5)
+    assert(s2.search(TermQ("gone"), 10, graft.score.BM25()).isEmpty)
+    assert(s2.matchingDocs(TermQ("x")).count() == 2) // "stay x" + the fresh doc
+    assert(s2.liveDocCount() == 3)
+  }
 }
