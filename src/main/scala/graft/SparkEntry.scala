@@ -268,6 +268,13 @@ object SparkEntry {
       Dedup.simHashPairs(tbl(s, dir, "documents"), maxDist = 3)
         .select("doc_a", "doc_b", "dist")),
 
+    // embedding-cosine near-dup (LSH candidates + exact verify); the
+    // driver's synthetic embeddings are i.i.d. gaussian — no planted
+    // near-dups, so the correct answer here is the empty set on both
+    // sides (PipelineSpec proves the non-empty planted case)
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(tbl(s, dir, "embeddings"), minCos = 0.95)),
+
     // -- similarity search
     "ann_cosine" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -507,6 +514,17 @@ object SparkEntry {
 
     "dedup_jaccard" -> jaccardOracle,
     "dedup_minhash" -> jaccardOracle,
+
+    "dedup_embedding" ->
+      """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |                  a.embedding AS ea, b.embedding AS eb
+        |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |e AS (SELECT id_a, id_b, CAST(ea[i] AS DOUBLE) AS xa, CAST(eb[i] AS DOUBLE) AS xb
+        |      FROM p, unnest(generate_series(1, len(ea))) u(i)),
+        |c AS (SELECT id_a, id_b,
+        |             sum(xa*xb) / (sqrt(sum(xa*xa)) * sqrt(sum(xb*xb))) AS cs
+        |      FROM e GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(cs, 4) AS cos_sim FROM c WHERE cs >= 0.95""".stripMargin,
 
     "ann_cosine" ->
       """SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank FROM (

@@ -126,4 +126,39 @@ object Dedup {
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Embedding-cosine near-duplicate pairs — the fifth dedup family of the
+    * training-pipeline brief: hyperplane-LSH candidate generation
+    * (all-pairs within shared buckets across tables, like [[minHashPairs]]'
+    * banding) then EXACT cosine verification, keeping pairs >= `minCos`.
+    * Designed operating point is true near-dups (minCos >= ~0.9): at
+    * cos 0.95 the per-table collision prob is (1 - acos(0.95)/pi)^bits ~
+    * 0.43, so 8 tables give ~0.99 recall; low thresholds are not a
+    * near-dup question and are out of design (use ann for retrieval).
+    * Scale shape: bucketed self-join on 64-bit signatures, ids-only until
+    * the verify step re-attaches embeddings — no quadratic all-pairs. */
+  def embeddingPairs(embeddings: DataFrame, minCos: Double = 0.95,
+      dim: Int = 64, bits: Int = 8, tables: Int = 8,
+      maxBucket: Long = 100000L): DataFrame = {
+    val sig = embeddings.select(col("vec_id"),
+        posexplode(array((0 until tables).map(t =>
+          Ann.lshSignature(col("embedding"), dim, bits, t)): _*)))
+      .toDF("vec_id", "table", "bucket")
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")
+    val sigCapped = sig
+      .withColumn("bn", count(lit(1)).over(wb))
+      .filter(col("bn") <= maxBucket)
+      .select("vec_id", "table", "bucket")
+    val candIds = sigCapped.as("a").join(sigCapped.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    candIds
+      .join(embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .select(col("id_a"), col("id_b"), Ann.cosine(col("ea"), col("eb")).as("cs"))
+      .filter(col("cs") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cs"), 4).as("cos_sim"))
+  }
 }

@@ -82,6 +82,13 @@ class PipelineSpec extends AnyFunSuite {
     val ivf = Ann.ivfTopK(emb, q, k = 1, dim = 16, clusters = 8, nprobe = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivf == brute, s"IVF missed planted neighbors: $ivf")
+
+    // embedding near-dup pairs: every planted copy pairs with its base at
+    // cos >= 0.95, and nothing else does
+    val pairs = Dedup.embeddingPairs(emb, minCos = 0.95, dim = 16, bits = 6, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (0 until 20).map(i => (i.toLong, 1000L + i)).toSet,
+      s"embedding near-dup pairs: $pairs")
   }
 
   test("multimodal stub: deterministic checksums over binary payloads") {
