@@ -49,7 +49,7 @@ object QueryProfile {
       val rnd2 = new scala.util.Random(42)
       def zt(): String = "w" + math.min(49999, math.pow(50000.0, rnd2.nextDouble()).toInt)
       def rt(): String = "w" + (5000 + rnd2.nextInt(40000))
-      val batch: Seq[(String, Query)] = (1 to 2048).map { i =>
+      val batch: Seq[(String, Query)] = (1 to 4096).map { i =>
         s"q$i" -> (i % 2 match {
           case 0 => BoolQ(should = Seq.fill(2 + rnd2.nextInt(3))(TermQ(zt())))
           case _ => BoolQ(should = Seq(TermQ(rt()), TermQ(zt()), TermQ(zt())))
@@ -66,8 +66,8 @@ object QueryProfile {
         (e, w)
       }
       val e = rs.map(_._1).min; val w = rs.map(_._2).min
-      println(f"[qprof] spark batch=2048: exh ${e}%.3f s (${2048 / e}%.0f qps)  " +
-        f"wand ${w}%.3f s (${2048 / w}%.0f qps)  speedup ${e / w}%.2fx")
+      println(f"[qprof] spark batch=4096: exh ${e}%.3f s (${4096 / e}%.0f qps)  " +
+        f"wand ${w}%.3f s (${4096 / w}%.0f qps)  speedup ${e / w}%.2fx")
       s.stop()
       return
     }
