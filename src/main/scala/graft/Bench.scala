@@ -133,7 +133,10 @@ object Bench {
     // scaling vs a real 4x-executor cluster; the small pair keeps per-core
     // bandwidth constant
     val (tinyCpus, smallCpus) = (math.max(1, cpus / 16), lowCpus)
-    val rounds2 = (1 to 4).map { r =>
+    // 6 rounds on this pair: it is the north-rule gate (>=0.8) and its
+    // run-to-run band on this shared box is ~±0.06 — more rounds tighten
+    // the min-of-rounds floor
+    val rounds2 = (1 to 6).map { r =>
       (buildOnce(tinyCpus, s"$work/idx-tiny-r$r"), buildOnce(smallCpus, s"$work/idx-small-r$r"))
     }
     val tinySec = rounds2.map(_._1).min
