@@ -16,79 +16,68 @@ object EngineQueries {
 
   private val searchers = scala.collection.concurrent.TrieMap.empty[String, IndexSearcher]
 
-  /** docIDs: the builder assigns docId = rank of url; urls are zero-padded
-    * doc_ids, so engine docId == documents.doc_id. */
-  def searcher(spark: SparkSession, sfDir: String): IndexSearcher =
-    searchers.getOrElseUpdate(sfDir, {
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) { val l = f.listFiles(); if (l != null) l.foreach(rm) }
+    f.delete()
+  }
+
+  /** One segment per core once the corpus is big enough (a 60k-doc corpus
+    * in 256-doc segments is 234 tiny tasks per query job — pure scheduling
+    * overhead); floor of 256 keeps the multi-segment merge path exercised
+    * at sf0.001. */
+  private def expectedPerSeg(numDocs: Long): Int =
+    math.min(15000L, math.max(256L, numDocs / 32)).toInt
+
+  /** Build-or-load one cached engine index under java.io.tmpdir — the
+    * single parameterized builder behind [[searcher]] / [[payloadSearcher]]
+    * (their expectedPerSeg / staleness / rm-rebuild plumbing used to be
+    * duplicated). A committed index is reused only when its format version,
+    * segment layout, and payload/docmap requirements all match — anything
+    * stale is wiped and rebuilt. */
+  private def cachedIndex(spark: SparkSession, sfDir: String, tag: String,
+      analyzer: String, payloads: Boolean, docMap: Boolean)(
+      corpusOf: DataFrame => DataFrame): IndexSearcher =
+    searchers.getOrElseUpdate(tag + ":" + sfDir, {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-index-" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
-      def expectedPerSeg(numDocs: Long): Int =
-        math.min(15000L, math.max(256L, numDocs / 32)).toInt
+        "graft-index-" + tag + sfDir.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
       val committed = IndexMetaIO.readLatestWithExtra(dir)
         .filter { case (_, extra) => extra.get("format").contains(IndexMetaIO.FormatVersion) }
         .filter { case (m, _) => // stale segment layout → rebuild
           m.segments.nonEmpty &&
+            (!payloads || m.segments.forall(_.hasPayloads)) &&
             m.segments.map(_.docCount).max ==
               math.min(expectedPerSeg(m.numDocs).toLong, m.numDocs)
         }
-        .filter(_ => new java.io.File(dir, "docmap/_SUCCESS").exists())
+        .filter(_ => !docMap || new java.io.File(dir, "docmap/_SUCCESS").exists())
       if (committed.isEmpty) {
-        // stale or old-format cache: wipe and rebuild
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
         if (new java.io.File(dir).exists()) rm(new java.io.File(dir))
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        val corpus = docs.select(format_string("%012d", col("doc_id")).as("url"), col("text"))
-        // one segment per core once the corpus is big enough (a 60k-doc
-        // corpus in 256-doc segments is 234 tiny tasks per query job —
-        // pure scheduling overhead); floor of 256 keeps the multi-segment
-        // merge path exercised at sf0.001
         val perSeg = expectedPerSeg(docs.count())
-        IndexBuilder.build(spark, corpus,
-          IndexConfig(dir, analyzer = "whitespace", docsPerSegment = perSeg,
-            storePositions = true, writeDocMap = true))
+        IndexBuilder.build(spark, corpusOf(docs),
+          IndexConfig(dir, analyzer = analyzer, docsPerSegment = perSeg,
+            storePositions = true, writeDocMap = docMap, storePayloads = payloads))
       }
       new IndexSearcher(spark, dir)
     })
+
+  /** docIDs: the builder assigns docId = rank of url; urls are zero-padded
+    * doc_ids, so engine docId == documents.doc_id. */
+  def searcher(spark: SparkSession, sfDir: String): IndexSearcher =
+    cachedIndex(spark, sfDir, "", "whitespace", payloads = false, docMap = true)(
+      _.select(format_string("%012d", col("doc_id")).as("url"), col("text")))
 
   /** Payload-carrying twin of [[searcher]]: the same documents corpus with
     * each token annotated as "tok|p" (p = 1-based token position), indexed
     * through the delimited-payload analyzer. Token positions are
     * SQL-recoverable, so payload scoring gets a real DuckDB oracle. */
   def payloadSearcher(spark: SparkSession, sfDir: String): IndexSearcher =
-    searchers.getOrElseUpdate("pay:" + sfDir, {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-index-pay-" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
-      def expectedPerSeg(numDocs: Long): Int =
-        math.min(15000L, math.max(256L, numDocs / 32)).toInt
-      val committed = IndexMetaIO.readLatestWithExtra(dir)
-        .filter { case (_, extra) => extra.get("format").contains(IndexMetaIO.FormatVersion) }
-        .filter { case (m, _) =>
-          m.segments.nonEmpty && m.segments.forall(_.hasPayloads) &&
-            m.segments.map(_.docCount).max ==
-              math.min(expectedPerSeg(m.numDocs).toLong, m.numDocs)
-        }
-      if (committed.isEmpty) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        if (new java.io.File(dir).exists()) rm(new java.io.File(dir))
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        val toks = filter(split(col("text"), " "), t => t =!= "")
-        val corpus = docs.select(
-          format_string("%012d", col("doc_id")).as("url"),
-          array_join(transform(toks,
-            (t, i) => concat(t, lit("|"), (i + 1).cast("string"))), " ").as("text"))
-        val perSeg = expectedPerSeg(docs.count())
-        IndexBuilder.build(spark, corpus,
-          IndexConfig(dir, analyzer = "delimited", docsPerSegment = perSeg,
-            storePositions = true, writeDocMap = false, storePayloads = true))
-      }
-      new IndexSearcher(spark, dir)
-    })
+    cachedIndex(spark, sfDir, "pay-", "delimited", payloads = true, docMap = false) { docs =>
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      docs.select(
+        format_string("%012d", col("doc_id")).as("url"),
+        array_join(transform(toks,
+          (t, i) => concat(t, lit("|"), (i + 1).cast("string"))), " ").as("text"))
+    }
 
   /** Top-k through the payload index with float-decoding similarity. */
   def payloadTopK(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame =
@@ -143,5 +132,51 @@ object EngineQueries {
     if (metaNot.nonEmpty)
       hits = hits.join(docs.filter(pred(metaNot)).select(col("doc_id")), "doc_id", "left_anti")
     hits
+  }
+
+  private def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+    dst.mkdirs()
+    val files = src.listFiles()
+    if (files != null) files.foreach { f =>
+      val t = new java.io.File(dst, f.getName)
+      if (f.isDirectory) copyDir(f, t)
+      else java.nio.file.Files.copy(f.toPath, t.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Delete-then-requery — the reference's core delete behavior
+    * (/root/reference/src/test/index/IndexReaderTest.cpp delete-then-search,
+    * SegmentTermDocs skipping deleted docs) as a driver-oracled entry:
+    * copy the cached index to a scratch dir, tombstone every doc matching
+    * `del` through a searcher, then REOPEN — the fresh searcher's
+    * delgen-keyed readers must observe the new del bitsets — and return the
+    * surviving match set of `keep`. The scratch copy is re-made per call so
+    * the entry stays idempotent (deletes are destructive). */
+  def deleteRequery(spark: SparkSession, sfDir: String,
+      del: Query, keep: Query): DataFrame = {
+    val base = searcher(spark, sfDir)
+    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-index-del-" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+    rm(scratch)
+    copyDir(new java.io.File(base.indexDir), scratch)
+    new IndexSearcher(spark, scratch.getPath).deleteDocs(del)
+    new IndexSearcher(spark, scratch.getPath).matchingDocs(keep)
+  }
+
+  /** Field-sorted top-n over an engine match set — the
+    * TopFieldCollector/SortField path (reference
+    * src/core/search/TopFieldCollector.cpp, SortField.cpp) re-expressed:
+    * the match set stays distributed, the sort key comes from the columnar
+    * source (the FieldCache equivalent), and Catalyst's
+    * TakeOrderedAndProject IS the bounded field collector — per-partition
+    * heaps of n, then a driver merge of partition tops. */
+  def sortedTopK(spark: SparkSession, sfDir: String, q: Query, n: Int): DataFrame = {
+    val hits = matchingDocs(spark, sfDir, q)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    hits.join(docs, "doc_id")
+      .orderBy(asc("source"), desc("doc_id"))
+      .limit(n)
   }
 }

@@ -251,6 +251,30 @@ object SparkEntry {
       EngineQueries.topKWithUrls(s, dir,
         BoolQ(should = Seq(TermQ("window"), TermQ("spark"), TermQ("merge"))), 10)),
 
+    // delete-then-requery on a scratch copy: tombstone every doc containing
+    // 'spark', reopen (delgen-keyed readers), return surviving 'window'
+    // matches — the reference's IndexReaderTest delete-then-search behavior
+    // through the driver oracle
+    "delete_requery" -> ((s, dir) =>
+      EngineQueries.deleteRequery(s, dir, del = TermQ("spark"), keep = TermQ("window"))),
+
+    // engine-path sort-by-field top-k (TopFieldCollector/SortField): match
+    // set of 'window' ordered by a source column, bounded via
+    // TakeOrderedAndProject
+    "sorted_topk" -> ((s, dir) =>
+      EngineQueries.sortedTopK(s, dir, TermQ("window"), 20)),
+
+    // batch-mode twin of StreamOps.windowedTermCounts (the IDENTICAL plan
+    // builder the streaming entry point uses — Catalyst strips the
+    // watermark node in batch): 10-minute tumbling-window term counts over
+    // the events stream-shaped table
+    "streaming_terms" -> ((s, dir) => {
+      val pages = tbl(s, dir, "events")
+        .select(col("ts").as("warc_ts"), col("event_type").as("text"))
+      graft.streaming.StreamOps.windowedTermCounts(pages, analyzerName = "whitespace")
+        .select(col("win_start").cast("long").as("win_start"), col("term"), col("freq"))
+    }),
+
     // -- dedup family
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(tbl(s, dir, "documents"))),
 
@@ -292,6 +316,23 @@ object SparkEntry {
       // index build and ships with the index; queries only probe
       val cs = ivfCentroids.getOrElseUpdate(dir, Ann.trainIvf(e))
       Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 5, trained = Some(cs))
+    }),
+
+    // recall@5 of the approximate ANN paths against the exact brute force —
+    // dual-implementation agreement as a committed, deterministic number
+    // (seeds fixed), replacing the bare no-oracle rows with a quality signal
+    "ann_lsh_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      Ann.recallAtK(Ann.bruteForceTopK(e, q, k = 5), Ann.lshTopK(e, q, k = 5), k = 5)
+    }),
+
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val cs = ivfCentroids.getOrElseUpdate(dir, Ann.trainIvf(e))
+      Ann.recallAtK(Ann.bruteForceTopK(e, q, k = 5),
+        Ann.ivfTopK(e, q, k = 5, trained = Some(cs)), k = 5)
     }),
 
     // -- text analysis
@@ -447,6 +488,22 @@ object SparkEntry {
          |SELECT DISTINCT doc_id FROM tokf WHERE term = 'batch'
          |AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
          |AND doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src0')""".stripMargin,
+
+    "delete_requery" ->
+      s"""$tokCte
+         |SELECT DISTINCT doc_id FROM tokf WHERE term = 'window'
+         |AND doc_id NOT IN (SELECT doc_id FROM tokf WHERE term = 'spark')""".stripMargin,
+
+    "sorted_topk" ->
+      s"""$tokCte
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN (SELECT DISTINCT doc_id FROM tokf WHERE term = 'window') m USING (doc_id)
+         |ORDER BY d.source ASC, d.doc_id DESC LIMIT 20""".stripMargin,
+
+    "streaming_terms" ->
+      """SELECT (epoch_us(ts) // 600000000) * 600 AS win_start,
+        |event_type AS term, count(*)::BIGINT AS freq
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "prefix_match" ->
       s"""$tokCte

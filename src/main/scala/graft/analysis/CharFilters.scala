@@ -123,6 +123,21 @@ case object HtmlStripCharFilter extends CharFilter {
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
     "apos" -> "'", "nbsp" -> " ")
 
+  /** Case-insensitive close-tag scan from `from` — locale-independent
+    * (regionMatches(ignoreCase) compares per char, no locale) and O(n) over
+    * the remaining text; the earlier `text.toLowerCase.indexOf` re-lowered
+    * the WHOLE string per block (O(n²) on script-heavy pages) and under a
+    * Turkish default locale never matched '</SCRIPT>' (dotless-ı). */
+  private def indexOfIgnoreCase(text: String, target: String, from: Int): Int = {
+    val last = text.length - target.length
+    var i = from
+    while (i <= last) {
+      if (text.regionMatches(true, i, target, 0, target.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   override def filter(text: String): (String, Int => Int) = {
     val out = new StringBuilder(text.length)
     val points = Vector.newBuilder[(Int, Int)]
@@ -143,9 +158,9 @@ case object HtmlStripCharFilter extends CharFilter {
           if (text.startsWith("<!--", i)) {
             val e = text.indexOf("-->", i); if (e < 0) n else e + 3
           } else if (text.regionMatches(true, i, "<script", 0, 7)) {
-            val e = text.toLowerCase.indexOf("</script>", i); if (e < 0) n else e + 9
+            val e = indexOfIgnoreCase(text, "</script>", i); if (e < 0) n else e + 9
           } else if (text.regionMatches(true, i, "<style", 0, 6)) {
-            val e = text.toLowerCase.indexOf("</style>", i); if (e < 0) n else e + 8
+            val e = indexOfIgnoreCase(text, "</style>", i); if (e < 0) n else e + 8
           } else {
             val e = text.indexOf('>', i); if (e < 0) n else e + 1
           }

@@ -110,13 +110,19 @@ object Maintenance {
 
     // norms/doclens (and term vectors, if all inputs carry them)
     // concatenate. Tombstoned docs keep their id SLOT (docIds are stable
-    // url ranks) but are reclaimed: zero doclen, empty vector, and — below
-    // — no postings; the merged segment carries no del bitset.
+    // url ranks): postings, doclens and vectors are reclaimed below, and the
+    // dead slots are CARRIED FORWARD into the merged segment's del bitset —
+    // MatchAll/value-source scorers iterate 0..docCount, so dropping the
+    // bitset would resurrect deleted docs in every non-postings-driven
+    // result (the reference removes deleted docs entirely at merge; with
+    // stable docIds the carried bitset is the equivalent).
+    val carried = new java.util.BitSet(docCount)
     var off = 0
     readers.foreach { r =>
       var i = 0
       while (i < r.meta.docCount) {
         val dead = r.deleted(i)
+        if (dead) carried.set(off + i)
         writer.addDocLength(off + i, if (dead) 0 else r.doclens(i))
         if (hasVecs) {
           val entries = if (dead) Seq.empty else r.termVector(i).get
@@ -155,6 +161,9 @@ object Maintenance {
       live = its.indices.filter(its(_).hasNext).toArray
     }
     val meta = writer.finish()
+    if (!carried.isEmpty)
+      SegmentFormat.writeDeletes(
+        new File(indexDir, SegmentFormat.segDirName(newSegId)), carried)
 
     // retire the merged inputs AFTER the new segment is published, then
     // snapshot (readers only ever see snapshotted sets)

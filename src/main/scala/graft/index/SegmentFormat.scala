@@ -45,6 +45,17 @@ object SegmentFormat {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** The segment's CURRENT on-disk deletion bitset (empty when none).
+    * Delete accumulation must seed from this, not from a cached reader's
+    * open-time snapshot: a second delete batch through the same searcher
+    * would otherwise OR into a stale bitset and overwrite (lose) the first
+    * batch's committed tombstones on write. */
+  def readDeletes(segDir: java.io.File): java.util.BitSet = {
+    val f = new java.io.File(segDir, "del.bin")
+    if (!f.exists()) new java.util.BitSet()
+    else java.util.BitSet.valueOf(java.nio.file.Files.readAllBytes(f.toPath))
+  }
+
   /** Postings per block; also the term-index sampling interval
     * (SURVEY.md §7.3; reference term-index interval 128 —
     * /root/reference/src/core/index/IndexWriter.cpp:64). */

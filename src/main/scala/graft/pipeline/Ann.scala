@@ -80,13 +80,16 @@ object Ann {
       dim: Int = 64, bits: Int = 8, tables: Int = 8,
       maxBucket: Long = 100000L): DataFrame = {
     val sigE0 = bucketed(embeddings, "vec_id", dim, bits, tables)
+      .select(col("vec_id"), col("table"), col("bucket"))
     // hot-bucket cap: a degenerate bucket holding a large fraction of the
     // corpus has no discriminating power and would dominate the join — drop
-    // it (standard LSH hygiene; recall comes from the other tables)
-    val wb = Window.partitionBy("table", "bucket")
-    val sigE = sigE0.select(col("vec_id"), col("table"), col("bucket"))
-      .withColumn("bn", count(lit(1)).over(wb))
-      .filter(col("bn") <= maxBucket)
+    // it (standard LSH hygiene; recall comes from the other tables).
+    // Agg + broadcast anti-join, not a Window: partial aggregation shrinks
+    // the hot key map-side instead of shuffle-sorting every signature row
+    // into the straggler partition the cap is meant to prevent.
+    val hot = sigE0.groupBy("table", "bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).select("table", "bucket")
+    val sigE = sigE0.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
     val sigQ = bucketed(queries.select(col("vec_id").as("query_id"), col("embedding")),
       "query_id", dim, bits, tables)
       .select(col("query_id"), col("table"), col("bucket"))
@@ -107,6 +110,25 @@ object Ann {
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /** Per-query recall@k of an approximate neighbor set against the exact
+    * one — the dual-implementation agreement check (the reference's
+    * pattern of verifying one scorer against another, e.g.
+    * src/test/search/Boolean2Test.cpp:42) turned into a committed number:
+    * both inputs are (query_id, neighbor_id, …) top-k frames, typically
+    * [[bruteForceTopK]] vs [[lshTopK]]/[[ivfTopK]]. Deterministic for
+    * fixed seeds/data, so the value is pinnable. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val qs = exact.select("query_id").distinct()
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    qs.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / k, 4).as("recall"))
   }
 
   private def assignExpr(cs: Array[Array[Double]]): Column = {

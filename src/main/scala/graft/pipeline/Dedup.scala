@@ -70,7 +70,15 @@ object Dedup {
     * 16×4 at j=0.8 → recall 1-(1-0.8^4)^16 ≈ 0.9998. */
   def minHashPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.8,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minHashSignatures(docs, w, bands * rowsPerBand).cache()
+    // only ids + signatures are persisted (numPerms longs per doc); the
+    // earlier version cached the full shingle arrays alongside — a
+    // corpus-sized cache that is exactly the memory blowup this operator
+    // must not have at 100 TB. Shingles for the verify step are recomputed
+    // in one extra narrow pass over the source, restricted to candidate
+    // docs (a semi-join against the candidate id set — tiny, AQE broadcasts
+    // it when it fits).
+    val sigs = minHashSignatures(docs, w, bands * rowsPerBand)
+      .select(col("doc_id"), col("sig")).cache()
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
@@ -80,9 +88,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    // candidate-sized (NOT corpus-sized) cache: one source re-scan feeds
+    // both sides of the pair join
+    val candSh = shingles(docs, w).join(candIds, Seq("doc_id"), "left_semi").cache()
     val withSets = cands
-      .join(sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
+      .join(candSh.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
+      .join(candSh.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
     val verified = withSets.select(col("doc_a"), col("doc_b"),
       (size(array_intersect(col("sha"), col("shb"))).cast("double") /
         size(array_union(col("sha"), col("shb")))).as("jac"))
@@ -144,11 +157,15 @@ object Dedup {
         posexplode(array((0 until tables).map(t =>
           Ann.lshSignature(col("embedding"), dim, bits, t)): _*)))
       .toDF("vec_id", "table", "bucket")
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")
-    val sigCapped = sig
-      .withColumn("bn", count(lit(1)).over(wb))
-      .filter(col("bn") <= maxBucket)
-      .select("vec_id", "table", "bucket")
+    // hot-bucket cap via aggregation + broadcast anti-join: partial (map-
+    // side) aggregation shrinks the degenerate key before the shuffle and
+    // the over-cap bucket list is tiny. The earlier Window.partitionBy cap
+    // shuffle-SORTED every signature row with the hot bucket concentrated
+    // in one partition — creating the straggler the cap exists to prevent.
+    val hot = sig.groupBy("table", "bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).select("table", "bucket")
+    val sigCapped = sig.select("vec_id", "table", "bucket")
+      .join(broadcast(hot), Seq("table", "bucket"), "left_anti")
     val candIds = sigCapped.as("a").join(sigCapped.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

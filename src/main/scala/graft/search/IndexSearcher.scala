@@ -301,7 +301,12 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
         val reader = ReaderCache.get(dir)
         val df = (t: String) => bcDf.value.getOrElse(t, 0L)
         val sim: Similarity = graft.score.BM25()
-        val bits = reader.deletionBits
+        // seed from the CURRENT on-disk bitset, NOT the cached reader's
+        // open-time snapshot: this searcher's reader-cache key is pinned to
+        // its open-time delGen, so a second delete batch through the same
+        // searcher instance would otherwise OR into a pre-first-batch bitset
+        // and silently resurrect the first batch's committed tombstones
+        val bits = SegmentFormat.readDeletes(reader.dir)
         val before = bits.cardinality()
         val qn = sim.queryNorm(SegmentSearch.sumOfSquaredWeights(bcQ.value, sim, st, df))
         SegmentSearch.scorer(bcQ.value, reader, sim, st, df, qn).foreach { s =>

@@ -79,7 +79,12 @@ object StreamOps {
               }
             }
             state.update(st)
-            state.setTimeoutTimestamp(st.end + gapMs)
+            // clamp past the watermark: flatMapGroupsWithState does NOT
+            // auto-drop rows older than the watermark, so a late event can
+            // leave st.end + gapMs at/below it — setTimeoutTimestamp throws
+            // on that and would kill the whole streaming query
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, st.end + gapMs))
             closed.reverseIterator
           }
       }

@@ -88,6 +88,42 @@ class DeleteSpec extends AnyFunSuite {
     assert(checks.forall(_.ok), checks.filterNot(_.ok).toString)
   }
 
+  test("two delete batches through the SAME searcher instance accumulate (no lost update)") {
+    // the r3 bug: the searcher's reader-cache key is pinned to its
+    // open-time delGen, so batch 2 seeded its OR from the cached
+    // pre-batch-1 bitset and writeDeletes silently resurrected batch 1's
+    // tombstones. The fix seeds from the current on-disk del.bin.
+    val texts = Seq("aa x", "bb x", "cc x", "aa bb x", "dd x")
+    val dir = buildIndex(texts)
+    ReaderCache.clear()
+    val s1 = new IndexSearcher(spark, dir)
+    assert(s1.deleteDocs(TermQ("aa")) == 2) // docs 0, 3
+    assert(s1.deleteDocs(TermQ("cc")) == 1) // doc 2 — same instance, no reopen
+    val s2 = new IndexSearcher(spark, dir)
+    assert(s2.liveDocCount() == 2)
+    assert(s2.matchingDocs(TermQ("x")).count() == 2)
+    assert(s2.search(TermQ("x"), 10, BM25()).map(_.docId).toSet == Set(1L, 4L))
+  }
+
+  test("compact carries dead slots into the merged del bitset: MatchAll/value-source stay clean") {
+    val texts = Seq("aa x", "bb x", "cc x", "aa bb x", "dd x", "ee x")
+    val dir = buildIndex(texts)
+    ReaderCache.clear()
+    val s1 = new IndexSearcher(spark, dir)
+    assert(s1.deleteDocs(TermQ("aa")) == 2) // docs 0, 3
+    Maintenance.compact(spark, dir, Int.MaxValue)
+    ReaderCache.clear()
+    val s2 = new IndexSearcher(spark, dir)
+    // MatchAllScorer iterates 0..docCount — before the fix the merged
+    // segment dropped its del bitset and the dead slots reappeared here
+    assert(s2.matchingDocs(MatchAllQ).count() == 4)
+    assert(s2.matchingDocs(ValueSourceQ(DocLenVS)).count() == 4)
+    assert(s2.search(MatchAllQ, 10, BM25()).map(_.docId).toSet == Set(1L, 2L, 4L, 5L))
+    assert(s2.liveDocCount() == 4)
+    val checks = Maintenance.checkIndex(spark, dir)
+    assert(checks.forall(_.ok), checks.filterNot(_.ok).toString)
+  }
+
   test("delete accumulates across batches and composite queries") {
     val texts = Seq("aa x", "bb x", "cc x", "aa bb x", "dd x")
     val dir = buildIndex(texts)

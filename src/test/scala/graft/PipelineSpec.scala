@@ -91,6 +91,61 @@ class PipelineSpec extends AnyFunSuite {
       s"embedding near-dup pairs: $pairs")
   }
 
+  test("minhash plan persists only ids+signatures — never the shingle arrays") {
+    // the 100 TB guard for THE headline dedup operator: the r3 version
+    // .cache()d (doc_id, shingles, sig) — a corpus-sized persist. Only
+    // InMemoryRelations over (doc_id, sig) or the candidate-restricted
+    // shingle set may appear; none may carry shingles for the full corpus.
+    val plan = Dedup.minHashPairs(docs, w = 3, minJaccard = 0.8,
+      bands = 32, rowsPerBand = 4).queryExecution.optimizedPlan
+    val cached = plan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(cached.nonEmpty, "expected the ids+signature projection to be cached")
+    val corpusSized = cached.filter { m =>
+      m.output.exists(_.name == "shingles") &&
+        // the candidate-restricted cache is allowed to hold shingles: it is
+        // bounded by the banding join, recognizable by the semi-join in its
+        // child plan
+        !m.cachedPlan.toString.toLowerCase.contains("semi")
+    }
+    assert(corpusSized.isEmpty,
+      s"corpus-sized shingle cache found:\n${corpusSized.mkString("\n")}")
+  }
+
+  test("hot-bucket caps use aggregation, not a Window sort") {
+    // embeddingPairs has no per-query ranking window, so ANY Window in its
+    // plan is the r3 shuffle-sort cap regression
+    val rnd = new java.util.Random(5)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val emb = (0 until 30).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val plan = Dedup.embeddingPairs(emb, minCos = 0.95, dim = 16, bits = 6, tables = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"Window found in embeddingPairs plan:\n$plan")
+  }
+
+  test("approximate ANN recall@k against brute force is pinned at the design point") {
+    val rnd = new java.util.Random(5)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 20).map(i => (i.toLong, vec()))
+    val copies = bases.map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (bases ++ copies).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 3)
+    val exact = Ann.bruteForceTopK(emb, q, k = 3)
+    val lshRec = Ann.recallAtK(exact,
+        Ann.lshTopK(emb, q, k = 3, dim = 16, bits = 6, tables = 8), k = 3)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    val ivfRec = Ann.recallAtK(exact,
+        Ann.ivfTopK(emb, q, k = 3, dim = 16, clusters = 8, nprobe = 4), k = 3)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    // multi-table LSH at 8 tables and IVF at nprobe=4/8 both recover the
+    // full exact top-3 on the planted-cluster corpus (deterministic seeds)
+    assert(lshRec.size == 3 && lshRec.values.forall(_ >= 1.0), s"LSH recall: $lshRec")
+    assert(ivfRec.size == 3 && ivfRec.values.forall(_ >= 2.0 / 3), s"IVF recall: $ivfRec")
+  }
+
   test("multimodal stub: deterministic checksums over binary payloads") {
     val media = Seq(
       (1L, "hello".getBytes("UTF-8"), "text"),

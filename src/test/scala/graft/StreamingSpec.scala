@@ -125,4 +125,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(all.exists(s => s.userId == 1 && s.startMs == 205000 && s.closed), all.toSeq)
     } finally q.stop()
   }
+
+  test("sessionize survives an event older than the watermark (timeout clamp)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, sec: Int) = StreamOps.Event(u, new java.sql.Timestamp(sec * 1000L))
+
+    val in = MemoryStream[StreamOps.Event]
+    // tiny gap so st.end + gapMs of a late event lands BELOW the watermark:
+    // flatMapGroupsWithState does not auto-drop late rows, and before the
+    // clamp setTimeoutTimestamp threw and killed the query
+    val sessions = StreamOps.sessionize(in.toDS(), gapMs = 1000L, watermark = "5 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 100))
+      q.processAllAvailable()
+      in.addData(ev(2, 500)) // watermark → 495s
+      q.processAllAvailable()
+      // user 3's event is far below the 495s watermark; its end + 1s gap
+      // would be an illegal (pre-watermark) timeout without the clamp
+      in.addData(ev(3, 50))
+      q.processAllAvailable()
+      in.addData(ev(2, 600))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val all = spark.table("sess_late").as[StreamOps.Session].collect()
+      // Spark 4.1 pre-filters late input rows for this operator, so the
+      // late event silently creates no session — the invariant under test
+      // is that the query SURVIVES and on-time users still close (the
+      // clamp guards the remaining path where state.end predates a
+      // watermark jump)
+      assert(!all.exists(_.userId == 3), all.toSeq)
+      assert(all.exists(s => s.userId == 1 && s.closed), all.toSeq)
+      assert(all.exists(s => s.userId == 2 && s.closed), all.toSeq)
+    } finally q.stop()
+  }
 }
