@@ -214,6 +214,51 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
+    // ---- 10x scale leg: the same build + query recipes at 4.8M docs
+    // (sf1-style), in the already-warm session. The point is evidence OFF
+    // the toy scale: segment sizing, reader-cache bounds and the
+    // per-segment task model must hold when the corpus is 10x — a
+    // throughput collapse here would mean a hidden driver-side or per-task
+    // O(corpus) cost. Same 15k-doc segment layout as the query bench: the
+    // per-TASK inversion buffer is what bounds memory (32 concurrent
+    // 150k-doc segments would put the whole corpus in RAM at once — the
+    // design rule is docsPerSegment sized to executor heap, NOT to corpus),
+    // and 320 segments = 10 task waves at local[32]. min-of-2 (each leg is
+    // minutes; the min still filters this VM's reclaim stalls).
+    val scale10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") == "1"
+    val scaleJson = if (!scale10) "" else {
+      val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "4800000").toLong
+      spark.catalog.clearCache() // drop the battery's dedup/ANN caches first
+      val corpus10 = s"$work/pages10"
+      SyntheticCorpus.generate(spark, scaleDocs, seed = 43, avgLen = benchAvgLen, vocab = 50000)
+        .write.mode("overwrite").parquet(corpus10)
+      val b10 = (1 to 2).map { r =>
+        val (_, sec) = time {
+          IndexBuilder.build(spark, spark.read.parquet(corpus10), IndexConfig(s"$work/idx10-r$r",
+            docsPerSegment = 15000, storePositions = false, writeDocMap = false))
+        }
+        if (r != 2) rmdir(s"$work/idx10-r$r") // last build feeds the query leg
+        System.gc()
+        sec
+      }
+      val build10Sec = b10.min
+      val searcher10 = new IndexSearcher(spark, s"$work/idx10-r2")
+      searcher10.searchBatch(queryBatch.take(4), 10, BM25())
+      val q10 = (1 to 2).map { _ =>
+        val (_, e) = time(searcher10.searchBatch(queryBatch, 10, BM25(), useWand = false))
+        val (_, w) = time(searcher10.searchBatch(queryBatch, 10, BM25(), useWand = true))
+        (e, w)
+      }
+      rmdir(s"$work/idx10-r2"); rmdir(corpus10); System.gc()
+      val exh10 = q10.map(_._1).min
+      val wand10 = q10.map(_._2).min
+      f""""scale10":{"docs":$scaleDocs,"build_secs":$build10Sec%.2f,""" +
+        f""""build_docs_per_sec":${scaleDocs / build10Sec}%.0f,""" +
+        f""""wand_qps":${queryBatch.size / wand10}%.1f,""" +
+        f""""exhaustive_qps":${queryBatch.size / exh10}%.1f,""" +
+        f""""wand_speedup":${exh10 / wand10}%.2f},"""
+    }
+
     spark.stop()
     // executor-isolation evidence lives in graft.tools.IsolationBench: in-
     // bench runs of that experiment are poisoned by this VM's DAMON/
@@ -227,7 +272,8 @@ object Bench {
         f""""pair2_cpus":[$tinyCpus,$smallCpus],"pair2_secs":[$tinySec%.2f,$smallSec%.2f],""" +
         f""""pair2_scaling_efficiency":$scalingEff2%.3f$busJson},""" +
         f""""query_throughput":{"batch_queries":${queryBatch.size},"wand_qps":$wandQps%.1f,""" +
-        f""""exhaustive_qps":$exhQps%.1f,"wand_speedup":${exhSec / wandSec}%.2f}"""
+        f""""exhaustive_qps":$exhQps%.1f,"wand_speedup":${exhSec / wandSec}%.2f}""" +
+        (if (scaleJson.isEmpty) "" else "," + scaleJson.stripSuffix(","))
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$extra}""")
     rmdir(work)

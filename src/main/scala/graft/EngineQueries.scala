@@ -14,6 +14,12 @@ import graft.search.{IndexSearcher, Query}
   * CTE to 1e-15 and are compared at round(…, 4)). */
 object EngineQueries {
 
+  /** Process-lifetime searcher cache keyed by (variant, sfDir) — right for
+    * the driver harness, where each sfDir's index is immutable once built.
+    * A long-lived service over a MUTATING index should key by generation
+    * instead (the way ReaderCache keys carry `#<delGen>`) or re-resolve per
+    * request; [[deleteRequery]] sidesteps this by working on a scratch copy
+    * and opening fresh searchers. */
   private val searchers = scala.collection.concurrent.TrieMap.empty[String, IndexSearcher]
 
   private def rm(f: java.io.File): Unit = {

@@ -74,13 +74,22 @@ object Ann {
   /** ANN via multi-table random-hyperplane LSH: candidates share a bucket
     * in ANY of `tables` tables (union), then exact cosine + per-query
     * top-k. Multi-table is the standard recall lever: miss probability is
-    * (1 - p^bits)^tables for bit-agreement probability p.
+    * (1 - p^bits)^tables for bit-agreement probability p. `multiprobe`
+    * additionally probes every QUERY bucket within Hamming distance
+    * `multiprobe` of its signature (multi-probe LSH — Lv et al., VLDB'07):
+    * each flipped bit trades candidate volume for recall without touching
+    * the indexed side, which matters on corpora whose true neighbors sit
+    * below the hyperplane design point (probe expansion is query-side
+    * only — `tables * (1 + bits)` rows at multiprobe=1, still broadcast).
     * Recall < 1 by construction (report alongside brute force). */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
       dim: Int = 64, bits: Int = 8, tables: Int = 8,
-      maxBucket: Long = 100000L): DataFrame = {
+      maxBucket: Long = 100000L, multiprobe: Int = 0): DataFrame = {
+    // ids+buckets only (bounded at any scale), cached: the hot-bucket
+    // count and the capped join side both read it — uncached, the
+    // hyperplane dot products would run twice per vector
     val sigE0 = bucketed(embeddings, "vec_id", dim, bits, tables)
-      .select(col("vec_id"), col("table"), col("bucket"))
+      .select(col("vec_id"), col("table"), col("bucket")).cache()
     // hot-bucket cap: a degenerate bucket holding a large fraction of the
     // corpus has no discriminating power and would dominate the join — drop
     // it (standard LSH hygiene; recall comes from the other tables).
@@ -90,9 +99,21 @@ object Ann {
     val hot = sigE0.groupBy("table", "bucket").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > maxBucket).select("table", "bucket")
     val sigE = sigE0.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
-    val sigQ = bucketed(queries.select(col("vec_id").as("query_id"), col("embedding")),
+    // Hamming-ball probe masks (driver-side: bits choose <= multiprobe,
+    // a few dozen longs at most)
+    val masks: Seq[Long] = {
+      def flips(d: Int): Seq[Long] =
+        if (d == 0) Seq(0L)
+        else flips(d - 1).flatMap(m => (0 until bits).map(b => m | (1L << b))).distinct
+      (0 to multiprobe).flatMap(flips).distinct
+    }
+    val sigQ0 = bucketed(queries.select(col("vec_id").as("query_id"), col("embedding")),
       "query_id", dim, bits, tables)
       .select(col("query_id"), col("table"), col("bucket"))
+    val sigQ =
+      if (masks.size <= 1) sigQ0
+      else sigQ0.select(col("query_id"), col("table"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     // dedup candidate IDS first — (table, bucket) duplicates must collapse
     // BEFORE embeddings are re-attached, so the distinct() never shuffles
     // embedding payloads

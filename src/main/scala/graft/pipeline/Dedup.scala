@@ -153,10 +153,13 @@ object Dedup {
   def embeddingPairs(embeddings: DataFrame, minCos: Double = 0.95,
       dim: Int = 64, bits: Int = 8, tables: Int = 8,
       maxBucket: Long = 100000L): DataFrame = {
+    // ids+buckets only (3 longs × tables per vector — bounded at any
+    // scale), cached because BOTH the hot-bucket count and the capped side
+    // read it: uncached, the hyperplane dot products run twice per vector
     val sig = embeddings.select(col("vec_id"),
         posexplode(array((0 until tables).map(t =>
           Ann.lshSignature(col("embedding"), dim, bits, t)): _*)))
-      .toDF("vec_id", "table", "bucket")
+      .toDF("vec_id", "table", "bucket").cache()
     // hot-bucket cap via aggregation + broadcast anti-join: partial (map-
     // side) aggregation shrinks the degenerate key before the shuffle and
     // the over-cap bucket list is tiny. The earlier Window.partitionBy cap

@@ -25,6 +25,15 @@ class EntrySpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("sorted_topk bounds the field sort: TakeOrderedAndProject, no global Sort") {
+    // the TopFieldCollector analog must stay a bounded per-partition heap +
+    // driver merge of partition tops — a full Sort before the limit would
+    // shuffle the whole match set at 100 TB
+    val plan = SparkEntry.queries("sorted_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
