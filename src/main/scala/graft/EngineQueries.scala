@@ -140,6 +140,26 @@ object EngineQueries {
     hits
   }
 
+  /** Explanation values for the top-k of `q` — the reference's CheckHits
+    * invariant (explain(q, doc).value == the score search collected,
+    * src/test/search/CheckHits.cpp:204-269) exposed to the driver oracle:
+    * the returned rows are built from the EXPLANATION tree's root values,
+    * so they hash-match the BM25 SQL oracle only if every per-node
+    * arithmetic step agrees with the scorer. One one-task Spark job per
+    * hit (k is small). */
+  def explainTopK(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame = {
+    val s = searcher(spark, sfDir)
+    val sim = BM25Exact()
+    val hits = s.search(q, k, sim)
+    import spark.implicits._
+    hits.toSeq.map { h =>
+      val e = s.explain(q, h.docId, sim)
+      require(e.matched, s"explain mismatch: doc ${h.docId} scored but not matched")
+      (h.docId,
+        BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("doc_id", "score")
+  }
+
   private def copyDir(src: java.io.File, dst: java.io.File): Unit = {
     dst.mkdirs()
     val files = src.listFiles()

@@ -251,6 +251,15 @@ object SparkEntry {
       EngineQueries.topKWithUrls(s, dir,
         BoolQ(should = Seq(TermQ("window"), TermQ("spark"), TermQ("merge"))), 10)),
 
+    // score explanations through the driver oracle: rows are the EXPLAIN
+    // tree's root values for the top-10 of the bm25_topk query — they
+    // hash-match the BM25 SQL oracle only if every explanation node's
+    // arithmetic agrees with the scorer (the reference's CheckHits
+    // value==score invariant, driver-checked)
+    "explain_scores" -> ((s, dir) =>
+      EngineQueries.explainTopK(s, dir,
+        BoolQ(should = Seq(TermQ("window"), TermQ("spark"), TermQ("merge"))), 10)),
+
     // delete-then-requery on a scratch copy: tombstone every doc containing
     // 'spark', reopen (delgen-keyed readers), return surviving 'window'
     // matches — the reference's IndexReaderTest delete-then-search behavior
@@ -434,6 +443,11 @@ object SparkEntry {
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "bm25_parsed" ->
+      s"""${bm25Cte("'window', 'spark', 'merge'")}
+         |SELECT doc_id, round(score, 4) AS score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "explain_scores" ->
       s"""${bm25Cte("'window', 'spark', 'merge'")}
          |SELECT doc_id, round(score, 4) AS score FROM sc
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
