@@ -218,6 +218,53 @@ final case class PorterAnalyzer(
   override def name: String = "porter"
 }
 
+/** Snowball stemmer registry + the reference's contrib snowball chain
+  * (SnowballAnalyzer.cpp:31-40: StandardTokenizer → StandardFilter →
+  * LowerCaseFilter → optional StopFilter → SnowballFilter;
+  * SnowballFilter.cpp:17-21 throws on an unknown language name). Each
+  * registered stemmer is verified against a golden corpus generated by
+  * the reference's own bundled libstemmer (SnowballSpec). */
+object SnowballStemmers {
+  val byName: Map[String, String => String] = Map(
+    "danish" -> Snowball.Danish.stem,
+    "english" -> Snowball.English.stem,
+    "finnish" -> Snowball.Finnish.stem,
+    "hungarian" -> Snowball.Hungarian.stem,
+    "italian" -> Snowball.Italian.stem,
+    "norwegian" -> Snowball.Norwegian.stem,
+    "portuguese" -> Snowball.Portuguese.stem,
+    "romanian" -> Snowball.Romanian.stem,
+    "spanish" -> Snowball.Spanish.stem,
+    "swedish" -> Snowball.Swedish.stem,
+    "turkish" -> Snowball.Turkish.stem,
+    "porter" -> ((w: String) => new PorterStemmer().stem(w)))
+
+  def apply(name: String): String => String =
+    byName.getOrElse(name.toLowerCase(java.util.Locale.ROOT),
+      throw new IllegalArgumentException(s"language not available for stemming: $name"))
+
+  def snowballFilter(name: String)(in: Iterator[Token]): Iterator[Token] = {
+    val stem = apply(name)
+    in.map(t => t.copy(term = stem(t.term)))
+  }
+}
+
+/** StandardAnalyzer chain + a Snowball stemmer picked by language name
+  * (the reference's contrib SnowballAnalyzer). */
+final case class SnowballAnalyzer(
+    language: String,
+    stopWords: Set[String] = Set.empty,
+    maxTokenLength: Int = 255) extends Analyzer {
+  private val stemmer = SnowballStemmers(language)
+  override def analyze(text: String): Iterator[Token] = {
+    val base = Filters.lowerCaseFilter(
+      Filters.standardFilter(ClassicScanner.tokenize(text, maxTokenLength)))
+    val stopped = if (stopWords.nonEmpty) Filters.stopFilter(stopWords)(base) else base
+    stopped.map(t => t.copy(term = stemmer(t.term)))
+  }
+  override def name: String = s"snowball-$language"
+}
+
 /** 4-byte big-endian float payload codec (Lucene PayloadHelper layout). */
 object PayloadCodec {
   def encodeFloat(v: Float): Array[Byte] = {
