@@ -355,6 +355,29 @@ object SparkEntry {
     "token_count" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
     "fingerprint" -> ((s, dir) => TextOps.fingerprint(tbl(s, dir, "documents"))),
 
+    // Gopher-style repetition filters (dup n-gram fractions, narrow map)
+    "repetition" -> ((s, dir) =>
+      TextOps.repetitionSignals(tbl(s, dir, "documents"))),
+
+    // benchmark-contamination: distinct 5-gram overlap of each training
+    // doc against the held-out eval subset (doc_id % 50 == 0), via a
+    // broadcast semi-join on the (benchmark-sized) eval gram set
+    "contamination" -> ((s, dir) =>
+      TextOps.contamination(tbl(s, dir, "documents"), n = 5, evalMod = 50)),
+
+    // PII scrub: the synthetic corpus carries no PII, so inject a
+    // deterministic email (+ IP on every 3rd doc) before redacting;
+    // counts + a digest of the scrubbed text are the oracle surface
+    "pii_scrub" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val enriched = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0.7")))
+          .otherwise(lit("")))
+      TextOps.piiScrub(docs, enriched)
+    }),
+
     // HTML text extraction: synthesize the north-rule schema's html column
     // (head/title/script wrapper around text), strip it through
     // HtmlStripCharFilter, count tokens — title contributes exactly
@@ -641,6 +664,41 @@ object SparkEntry {
     "fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g FROM t, unnest(generate_series(1, len(w)-1)) u(i)),
+        |a2 AS (SELECT doc_id, count(*) AS c, count(DISTINCT g) AS d FROM g2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM t, unnest(generate_series(1, len(w)-2)) u(i)),
+        |a3 AS (SELECT doc_id, count(*) AS c, count(DISTINCT g) AS d FROM g3 GROUP BY 1)
+        |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+        |  round(coalesce((a2.c - a2.d)::DOUBLE / a2.c, 0), 4) AS dup_2gram_frac,
+        |  round(coalesce((a3.c - a3.d)::DOUBLE / a3.c, 0), 4) AS dup_3gram_frac
+        |FROM t LEFT JOIN a2 USING(doc_id) LEFT JOIN a3 USING(doc_id)""".stripMargin,
+
+    "contamination" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS gram
+        |      FROM t, unnest(generate_series(1, len(w)-4)) u(i)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |cnt AS (SELECT doc_id, count(*) AS total FROM g GROUP BY 1),
+        |ov AS (SELECT g.doc_id, count(*) AS overlap FROM g JOIN ev USING(gram) WHERE g.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT t.doc_id, coalesce(ov.overlap, 0)::BIGINT AS overlap_grams,
+        |       coalesce(cnt.total, 0)::BIGINT AS total_grams
+        |FROM t LEFT JOIN cnt USING(doc_id) LEFT JOIN ov USING(doc_id)
+        |WHERE t.doc_id % 50 <> 0""".stripMargin,
+
+    "pii_scrub" ->
+      """WITH e AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' ip 10.' || (doc_id % 256) || '.0.7' ELSE '' END AS et
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(et, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(et, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  md5(regexp_replace(
+        |        regexp_replace(et, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
+        |FROM e""".stripMargin,
 
     "multimodal_stub" ->
       """SELECT event_id AS media_id, event_type AS kind,

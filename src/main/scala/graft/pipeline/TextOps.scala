@@ -97,4 +97,71 @@ object TextOps {
     fingerprint(docs)
       .groupBy("fp")
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("group_size"))
+
+  /** Word n-grams of the whitespace tokens, joined back with spaces —
+    * empty array when the doc is shorter than n. Pure Catalyst (sequence +
+    * slice inside transform), stays in WholeStageCodegen. */
+  def wordGrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signals: fraction of duplicated word 2- and
+    * 3-grams per document (Rae et al. 2021 §A1.1 repetition filters).
+    * Narrow map — no shuffle, no per-doc quadratic work. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    def dupFrac(n: Int): Column = {
+      val g = wordGrams(col("text"), n)
+      when(size(g) > 0,
+        (size(g) - size(array_distinct(g))).cast("double") / size(g).cast("double"))
+        .otherwise(lit(0.0))
+    }
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      round(dupFrac(2), 4).as("dup_2gram_frac"),
+      round(dupFrac(3), 4).as("dup_3gram_frac"))
+  }
+
+  /** Benchmark-contamination check: for every training document, how many
+    * of its distinct word n-grams appear in the held-out eval set
+    * (doc_id % evalMod == 0 plays the benchmark suite). The eval gram set
+    * is small by construction (a benchmark, not the corpus), so Spark
+    * broadcasts it — at 100 TB the train side stays a narrow scan plus a
+    * broadcast-hash semi-join; no corpus-sized shuffle exists. */
+  def contamination(docs: DataFrame, n: Int = 5, evalMod: Int = 50): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(wordGrams(col("text"), n))).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("gram")).distinct()
+    val train = grams.filter(col("doc_id") % evalMod =!= 0)
+    train.join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap_grams"))
+      .join(
+        docs.filter(col("doc_id") % evalMod =!= 0)
+          .select(col("doc_id"),
+            size(array_distinct(wordGrams(col("text"), n))).cast("long").as("total_grams")),
+        Seq("doc_id"), "right_outer")
+      .select(col("doc_id"), coalesce(col("overlap_grams"), lit(0L)).as("overlap_grams"),
+        col("total_grams"))
+  }
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing: redact emails and IPv4 addresses, report per-doc
+    * redaction counts plus a digest of the scrubbed text. The regexes use
+    * only syntax shared by Java regex and RE2 so the DuckDB twin is exact.
+    * The synthetic corpus carries no PII, so the driver entry injects a
+    * deterministic email + IP per doc before scrubbing (non-vacuous). */
+  def piiScrub(docs: DataFrame, textCol: Column): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(textCol, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(textCol, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
 }

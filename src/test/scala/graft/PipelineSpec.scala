@@ -163,4 +163,50 @@ class PipelineSpec extends AnyFunSuite {
     val m = TextOps.langId(d).select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
     assert(m(1L) == "en" && m(2L) == "other")
   }
+
+  test("repetition signals: dup n-gram fractions on planted repeats") {
+    val d = Seq(
+      (1L, "a b a b a b"), // 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+      (2L, "u v w x y z"), // all distinct
+      (3L, "solo")) // shorter than any gram
+      .toDF("doc_id", "text")
+    val m = TextOps.repetitionSignals(d)
+      .select("doc_id", "dup_2gram_frac", "dup_3gram_frac")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((0.6, 0.5)))
+    assert(m(2L) == ((0.0, 0.0)))
+    assert(m(3L) == ((0.0, 0.0)))
+  }
+
+  test("contamination counts eval-overlapping distinct grams per train doc") {
+    // doc 0 is "eval" (id % 50 == 0); doc 1 shares its first five tokens
+    // with doc 0 (one overlapping 5-gram after distinct), doc 2 shares none
+    val d = Seq(
+      (0L, "q w e r t y"),
+      (1L, "q w e r t zz q w e r t"), // grams include 'q w e r t' twice -> distinct once
+      (2L, "m n b v c x"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.contamination(d, n = 5, evalMod = 50)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!rows.contains(0L)) // eval docs excluded from the report
+    assert(rows(1L)._1 == 1L && rows(1L)._2 == 6L)
+    assert(rows(2L) == ((0L, 2L)))
+  }
+
+  test("pii scrub redacts emails and ips and counts them") {
+    val d = Seq(
+      (1L, "write bob.smith@corp.example now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.7"),
+      (3L, "nothing here"))
+      .toDF("doc_id", "text")
+    val out = TextOps.piiScrub(d, org.apache.spark.sql.functions.col("text"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 0)
+    assert(out(2L)._2 == 0 && out(2L)._3 == 2)
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0)
+    // digest of doc 3 equals md5 of the untouched text
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("nothing here".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(3L)._4 == md)
+  }
 }
