@@ -227,13 +227,17 @@ final case class PorterAnalyzer(
 object SnowballStemmers {
   val byName: Map[String, String => String] = Map(
     "danish" -> Snowball.Danish.stem,
+    "dutch" -> Snowball.Dutch.stem,
     "english" -> Snowball.English.stem,
     "finnish" -> Snowball.Finnish.stem,
+    "french" -> Snowball.French.stem,
+    "german" -> Snowball.German.stem,
     "hungarian" -> Snowball.Hungarian.stem,
     "italian" -> Snowball.Italian.stem,
     "norwegian" -> Snowball.Norwegian.stem,
     "portuguese" -> Snowball.Portuguese.stem,
     "romanian" -> Snowball.Romanian.stem,
+    "russian" -> Snowball.Russian.stem,
     "spanish" -> Snowball.Spanish.stem,
     "swedish" -> Snowball.Swedish.stem,
     "turkish" -> Snowball.Turkish.stem,
