@@ -289,7 +289,14 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
     * unchanged, like the reference's point-in-time readers). DocIDs stay
     * stable; space is reclaimed at the next merge. Returns the number of
     * docs newly deleted. */
-  def deleteDocs(q0: Query): Long = {
+  def deleteDocs(q0: Query): Long = deleteDocs(q0, commit = true)
+
+  /** Tombstone every doc matching `q0`. With `commit = false` the del
+    * bitsets are written but the delgen snapshot is left to the caller —
+    * updateDocuments uses this to fold deletes and appends into ONE
+    * commit (the reference's IndexWriter::updateDocument,
+    * /root/reference/src/core/index/IndexWriter.cpp:981-1004). */
+  def deleteDocs(q0: Query, commit: Boolean): Long = {
     val q = Query.rewrite(expandQueries(Seq("q" -> q0)).head._2)
     val dfMap = globalDf(Query.allTerms(q))
     val sc = spark.sparkContext
@@ -320,7 +327,7 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
       .collect().sum
     bcQ.destroy()
     bcDf.destroy()
-    if (newly > 0) {
+    if (newly > 0 && commit) {
       // bump the deletion generation in a fresh snapshot (meta unchanged)
       val (m, extra) = IndexMetaIO.readLatestWithExtra(indexDir).get
       val gen = extra.get("delgen").map(_.toInt).getOrElse(0) + 1

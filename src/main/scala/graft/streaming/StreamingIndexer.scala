@@ -25,7 +25,8 @@ object StreamingIndexer {
     * directly testable. Returns the new snapshot. */
   def appendBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
       analyzer: String = "standard", docsPerSegment: Int = 1 << 20,
-      storePositions: Boolean = true, batchId: Long = -1L): IndexMeta = {
+      storePositions: Boolean = true, batchId: Long = -1L,
+      delGenOverride: Option[Int] = None): IndexMeta = {
     import spark.implicits._
     new java.io.File(indexDir).mkdirs()
 
@@ -76,13 +77,48 @@ object StreamingIndexer {
       // carry the deletion generation forward: searchers key reader caches
       // by delgen, and a snapshot that dropped it would resurrect stale
       // pre-delete cached readers (same rule as Maintenance.compact)
-      val delGen = prior.flatMap(_._2.get("delgen"))
-        .map(g => Map("delgen" -> g)).getOrElse(Map.empty[String, String])
+      val delGen = delGenOverride.map(g => Map("delgen" -> g.toString))
+        .orElse(prior.flatMap(_._2.get("delgen")).map(g => Map("delgen" -> g)))
+        .getOrElse(Map.empty[String, String])
       val extra = (if (batchId >= 0) Map(BatchKey -> batchId.toString)
         else Map.empty[String, String]) ++ delGen
       IndexMetaIO.writeCommit(indexDir, meta, extra)
       meta
     } finally sortedBase.unpersist()
+  }
+
+  /** Atomic update: tombstone every existing doc matching `deleteQ`, then
+    * append `newDocs`, publishing BOTH in one commit — the reference's
+    * IndexWriter::updateDocument generalized to delete-by-query
+    * (/root/reference/src/core/index/IndexWriter.cpp:941-1004). The new
+    * docs are never candidates for the delete (tombstones are computed
+    * against the prior snapshot's segments only), and a reader reopening
+    * between the old and new commit sees either the old index or the full
+    * update, never the adds without the deletes. */
+  def updateDocuments(spark: SparkSession, indexDir: String,
+      deleteQ: graft.search.Query, newDocs: DataFrame,
+      analyzer: String = "standard", docsPerSegment: Int = 1 << 20,
+      storePositions: Boolean = true): IndexMeta = {
+    IndexMetaIO.readLatestWithExtra(indexDir) match {
+      case None =>
+        appendBatch(spark, newDocs, indexDir, analyzer, docsPerSegment,
+          storePositions)
+      case Some((priorMeta, priorExtra)) =>
+        val searcher = new graft.search.IndexSearcher(spark, indexDir)
+        val removed = searcher.deleteDocs(deleteQ, commit = false)
+        val gen =
+          if (removed > 0)
+            Some(priorExtra.get("delgen").map(_.toInt).getOrElse(0) + 1)
+          else None
+        val meta = appendBatch(spark, newDocs, indexDir, analyzer,
+          docsPerSegment, storePositions, batchId = -1L, delGenOverride = gen)
+        // an empty add with live deletes still needs its delgen snapshot
+        if ((meta eq priorMeta) || meta == priorMeta) gen.foreach { g =>
+          IndexMetaIO.writeCommit(indexDir, priorMeta,
+            priorExtra + ("delgen" -> g.toString))
+        }
+        meta
+    }
   }
 
   /** Start the streaming ingestion: `pages` must be a streaming DataFrame

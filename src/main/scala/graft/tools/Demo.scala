@@ -95,6 +95,19 @@ object Demo {
       s"live=${s3b.liveDocCount()}/${s3b.meta.numDocs}; " +
       s"reopened 'spark' hits=${s3b.search(TQ("spark"), 5, BM25()).length}")
 
+    // atomic update: replace every 'batch' doc with one fresh doc, one commit
+    locally {
+      import spark.implicits._
+      val updated = graft.streaming.StreamingIndexer.updateDocuments(spark, dir,
+        TQ("batch"), Seq(("zz-update", "batch reborn fresh")).toDF("url", "text"),
+        analyzer = s3b.meta.analyzer)
+      val s3c = new IndexSearcher(spark, dir)
+      println(s"[demo] updateDocuments: numDocs=${updated.numDocs} " +
+        s"live=${s3c.liveDocCount()}; 'reborn' hits=" +
+        s3c.search(TQ("reborn"), 5, BM25()).length +
+        s"; surviving 'batch' docs=${s3c.matchingDocs(TQ("batch")).count()}")
+    }
+
     // percolation + highlighting (contrib analogs)
     val mi = new MemoryIndex("streamed window batch text", WhitespaceAnalyzer)
     println(s"[demo] memory-index percolation 'window AND batch': " +

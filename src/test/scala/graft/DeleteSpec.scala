@@ -155,4 +155,40 @@ class DeleteSpec extends AnyFunSuite {
     assert(s2.matchingDocs(TermQ("x")).count() == 2) // "stay x" + the fresh doc
     assert(s2.liveDocCount() == 3)
   }
+
+  test("updateDocuments: delete-by-query + append in ONE commit; new docs not re-deleted") {
+    import spark.implicits._
+    val texts = Seq("version one alpha", "version one beta", "other gamma")
+    val dir = buildIndex(texts)
+    ReaderCache.clear()
+    def commitCount() = new java.io.File(dir, "commits").listFiles()
+      .count(f => f.getName.startsWith("commit_") && f.getName.endsWith(".json"))
+    val commitsBefore = commitCount()
+
+    // replace both 'one' docs with fresh docs that THEMSELVES contain 'one'
+    graft.streaming.StreamingIndexer.updateDocuments(spark, dir,
+      TermQ("one"),
+      Seq(("zz-a", "version one alpha prime"), ("zz-b", "version one beta prime"))
+        .toDF("url", "text"),
+      analyzer = "whitespace", docsPerSegment = 4)
+
+    assert(commitCount() == commitsBefore + 1) // deletes + adds, one snapshot
+
+    val s = new IndexSearcher(spark, dir)
+    assert(s.meta.numDocs == 5)
+    assert(s.liveDocCount() == 3)
+    // the replacements match 'one' but are NOT tombstoned; the originals are
+    assert(s.search(TermQ("one"), 10, graft.score.BM25()).map(_.docId).toSet == Set(3L, 4L))
+    assert(s.matchingDocs(TermQ("prime")).count() == 2)
+    assert(s.matchingDocs(TermQ("gamma")).count() == 1)
+    assert(s.search(TermQ("alpha"), 10, graft.score.BM25()).map(_.docId).toSet == Set(3L))
+
+    // update with an empty add side still publishes the delete snapshot
+    graft.streaming.StreamingIndexer.updateDocuments(spark, dir,
+      TermQ("gamma"), Seq.empty[(String, String)].toDF("url", "text"),
+      analyzer = "whitespace", docsPerSegment = 4)
+    val s2 = new IndexSearcher(spark, dir)
+    assert(s2.matchingDocs(TermQ("gamma")).count() == 0)
+    assert(s2.liveDocCount() == 2)
+  }
 }
