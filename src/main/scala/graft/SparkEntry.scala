@@ -359,6 +359,14 @@ object SparkEntry {
     "repetition" -> ((s, dir) =>
       TextOps.repetitionSignals(tbl(s, dir, "documents"))),
 
+    // training-mix accounting: per-(source,lang) doc/token counts + share
+    "source_mix" -> ((s, dir) =>
+      TextOps.sourceMix(tbl(s, dir, "documents"))),
+
+    // C4-style keep/drop gate with per-doc first-failed-rule audit
+    "quality_filter" -> ((s, dir) =>
+      TextOps.qualityFilter(tbl(s, dir, "documents"))),
+
     // benchmark-contamination: distinct 5-gram overlap of each training
     // doc against the held-out eval subset (doc_id % 50 == 0), via a
     // broadcast semi-join on the (benchmark-sized) eval gram set
@@ -675,6 +683,37 @@ object SparkEntry {
         |  round(coalesce((a2.c - a2.d)::DOUBLE / a2.c, 0), 4) AS dup_2gram_frac,
         |  round(coalesce((a3.c - a3.d)::DOUBLE / a3.c, 0), 4) AS dup_3gram_frac
         |FROM t LEFT JOIN a2 USING(doc_id) LEFT JOIN a3 USING(doc_id)""".stripMargin,
+
+    "source_mix" ->
+      """WITH t AS (SELECT source, lang,
+        |             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS toks
+        |           FROM documents),
+        |c AS (SELECT source, lang, count(*)::BIGINT AS docs, sum(toks)::BIGINT AS tokens
+        |      FROM t GROUP BY 1, 2)
+        |SELECT source, lang, docs, tokens,
+        |       round(tokens::DOUBLE / (SELECT sum(tokens) FROM c), 6) AS token_share
+        |FROM c""".stripMargin,
+
+    "quality_filter" ->
+      """WITH t AS (SELECT doc_id, text, lang,
+        |             list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g3 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM t, unnest(generate_series(1, len(w)-2)) u(i)),
+        |a3 AS (SELECT doc_id, count(*) AS c, count(DISTINCT g) AS d FROM g3 GROUP BY 1),
+        |m AS (SELECT t.doc_id, len(t.w) AS n,
+        |        CASE WHEN length(t.text) > 0
+        |          THEN length(regexp_replace(t.text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(t.text)
+        |          ELSE 0 END AS punct,
+        |        coalesce((a3.c - a3.d)::DOUBLE / a3.c, 0) AS dup3, t.lang
+        |      FROM t LEFT JOIN a3 USING(doc_id))
+        |SELECT doc_id,
+        |  (CASE WHEN n < 10 THEN 'too_short' WHEN n > 100000 THEN 'too_long'
+        |        WHEN punct > 0.2 THEN 'punct' WHEN dup3 > 0.3 THEN 'repetition'
+        |        WHEN lang <> 'en' THEN 'lang' ELSE '' END) = '' AS keep,
+        |  CASE WHEN n < 10 THEN 'too_short' WHEN n > 100000 THEN 'too_long'
+        |       WHEN punct > 0.2 THEN 'punct' WHEN dup3 > 0.3 THEN 'repetition'
+        |       WHEN lang <> 'en' THEN 'lang' ELSE '' END AS drop_reason
+        |FROM m""".stripMargin,
 
     "contamination" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),

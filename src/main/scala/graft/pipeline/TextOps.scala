@@ -148,6 +148,46 @@ object TextOps {
         col("total_grams"))
   }
 
+  /** Training-mix accounting: per (source, lang) document and token
+    * counts plus each cell's share of the corpus token budget — the
+    * mixture-weight table a data pipeline samples from. One partial-agg
+    * shuffle on a low-cardinality key; the share join is a broadcast of
+    * one total. */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val perCell = docs
+      .select(col("source"), col("lang"), size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("docs"), sum("toks").as("tokens"))
+    val total = perCell.agg(sum("tokens").as("total_tokens"))
+    perCell.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("total_tokens"), 6).as("token_share"))
+  }
+
+  /** C4-style keep/drop gate: token-count window, punctuation ceiling,
+    * repetition ceiling, language allow-list. Emits the decision and the
+    * first failed rule so downstream can audit filter attrition. Narrow
+    * map — the decision never shuffles. */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 100000,
+      maxPunct: Double = 0.2, maxDup3: Double = 0.3,
+      langs: Seq[String] = Seq("en")): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val punct = when(length(col("text")) > 0,
+      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+        length(col("text"))).otherwise(0.0)
+    val g3 = wordGrams(col("text"), 3)
+    val dup3 = when(size(g3) > 0,
+      (size(g3) - size(array_distinct(g3))).cast("double") / size(g3)).otherwise(0.0)
+    val reason = when(n < minTokens, "too_short")
+      .when(n > maxTokens, "too_long")
+      .when(punct > maxPunct, "punct")
+      .when(dup3 > maxDup3, "repetition")
+      .when(!col("lang").isin(langs: _*), "lang")
+      .otherwise("")
+    docs.select(col("doc_id"), (reason === "").as("keep"), reason.as("drop_reason"))
+  }
+
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 

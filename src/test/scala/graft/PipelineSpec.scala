@@ -193,6 +193,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(2L) == ((0L, 2L)))
   }
 
+  test("quality filter reports the first failed rule; source mix shares sum to 1") {
+    val d = Seq(
+      (1L, "too short", "en", "s0"),
+      (2L, ("a b " * 20) + "good enough tokens here for the window", "en", "s0"),
+      (3L, "x ! @ # $ % ^ & * ( ) ! @ # $ % ^ & * ( )", "en", "s1"),
+      (4L, "perfectly normal words repeated never in this document body here", "zh", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val f = TextOps.qualityFilter(d).as[(Long, Boolean, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(f(1L) == ((false, "too_short")))
+    assert(f(2L) == ((false, "repetition")))
+    assert(f(3L) == ((false, "punct")))
+    assert(f(4L) == ((false, "lang")))
+    val mix = TextOps.sourceMix(d).as[(String, String, Long, Long, Double)].collect()
+    assert(math.abs(mix.map(_._5).sum - 1.0) < 1e-4)
+    assert(mix.length == 3) // (s0,en), (s1,en), (s1,zh)
+  }
+
   test("pii scrub redacts emails and ips and counts them") {
     val d = Seq(
       (1L, "write bob.smith@corp.example now"),
