@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan hygiene for the round-4 pipeline operators: column
+  * pruning reaches the parquet scan, the contamination eval side is
+  * broadcast, and no narrow-map op introduces a shuffle or Window. */
+class PlanHygieneSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("narrow-map ops have no shuffle and prune the scan to used columns") {
+    for ((name, df) <- Seq(
+      "repetition" -> pipeline.TextOps.repetitionSignals(docs),
+      "quality_filter" -> pipeline.TextOps.qualityFilter(docs),
+      "pii_scrub" -> pipeline.TextOps.piiScrub(docs, org.apache.spark.sql.functions.col("text")))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name plan shuffles:\n$p")
+      assert(!p.contains("Window"), s"$name plan sorts a window:\n$p")
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+        s"$name reads unused columns: $readSchema")
+    }
+  }
+
+  test("contamination broadcasts the eval gram set into a semi-join") {
+    val p = plan(pipeline.TextOps.contamination(docs, 5, 50))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("source_mix aggregates with partial aggregation and broadcasts the total") {
+    val p = plan(pipeline.TextOps.sourceMix(docs))
+    assert(p.contains("partial"), p) // map-side combine before the shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+}
