@@ -44,6 +44,98 @@ object Highlighter {
 
   final case class Fragment(text: String, score: Float, startOffset: Int)
 
+  /** A term's highlight weight plus, when it came from a positional query,
+    * the token-position ranges where that query actually matched
+    * (WeightedSpanTerm.cpp: positionSensitive + PositionSpans). */
+  final case class WeightedSpanTerm(weight: Float, positionSensitive: Boolean,
+      spans: Seq[(Int, Int)]) { // [start, endExclusive) token positions
+    def checkPosition(p: Int): Boolean =
+      !positionSensitive || spans.exists(s => p >= s._1 && p < s._2)
+  }
+
+  /** Span-aware term extraction (WeightedSpanTermExtractor.cpp): phrase
+    * and span sub-queries contribute their terms ONLY at the positions
+    * where the phrase/span actually matches in this document; plain term
+    * queries stay position-insensitive. A term reached both ways keeps the
+    * insensitive (wider) form, like the reference's extractWeightedTerms
+    * overwrite of a position-sensitive entry. */
+  def weightedSpanTerms(q: Query,
+      termPositions: String => Option[Array[Int]]): Map[String, WeightedSpanTerm] = {
+    val acc = scala.collection.mutable.Map.empty[String, WeightedSpanTerm]
+    def addPlain(t: String, w: Float): Unit = acc.get(t) match {
+      case Some(e) =>
+        acc(t) = WeightedSpanTerm(math.max(e.weight, w), positionSensitive = false, Nil)
+      case None => acc(t) = WeightedSpanTerm(w, positionSensitive = false, Nil)
+    }
+    def addSpans(sq: SpanQuery, boost: Float): Unit = {
+      val matched = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      Spans.buildLocal(sq, termPositions).foreach { sp =>
+        while (sp.next()) matched += ((sp.start, sp.end))
+      }
+      if (matched.isEmpty) return // no match in this doc: nothing to highlight
+      Spans.weightTerms(sq).foreach { t =>
+        acc.get(t) match {
+          case Some(e) if !e.positionSensitive => () // insensitive stays wider
+          case Some(e) =>
+            acc(t) = WeightedSpanTerm(math.max(e.weight, boost),
+              positionSensitive = true, (e.spans ++ matched).distinct)
+          case None =>
+            acc(t) = WeightedSpanTerm(boost, positionSensitive = true, matched.toSeq)
+        }
+      }
+    }
+    def walk(q: Query, boost: Float): Unit = q match {
+      case TermQ(t, b) => addPlain(t, boost * b)
+      case TermSetQ(ts, b) => ts.foreach(addPlain(_, boost * b))
+      case PayloadTermQ(t, _, _, b) => addPlain(t, boost * b)
+      case PhraseQ(ts, slop, b) =>
+        // PhraseQuery → SpanNear with inOrder iff slop == 0
+        // (WeightedSpanTermExtractor.cpp:66-86)
+        addSpans(SpanNearQ(ts.map(SpanTermQ(_)), slop, inOrder = slop == 0), boost * b)
+      case MultiPhraseQ(slots, b) =>
+        val clauses = slots.map { sl =>
+          if (sl.size == 1) SpanTermQ(sl.head)
+          else SpanOrQ(sl.map(SpanTermQ(_)))
+        }
+        addSpans(SpanNearQ(clauses, 0, inOrder = true), boost * b)
+      case PayloadNearQ(cs, slop, inOrder, _, b) =>
+        addSpans(SpanNearQ(cs, slop, inOrder), boost * b)
+      case sq: SpanQuery => addSpans(sq, boost * sq.boost)
+      case BoolQ(m, s, _, _) => (m ++ s).foreach(walk(_, boost))
+      case ConstantScoreQ(inner, b) => walk(inner, boost * b)
+      case CachedQ(inner) => walk(inner, boost)
+      case CustomScoreQ(sub, _, b, _) => walk(sub, boost * b)
+      case DisMaxQ(ds, _, b) => ds.foreach(walk(_, boost * b))
+      case FilteredQ(q2, _) => walk(q2, boost)
+      case _ => ()
+    }
+    walk(q, 1f)
+    acc.toMap
+  }
+
+  /** Best fragments with span-accurate highlighting (QueryScorer.cpp):
+    * phrase/span terms are wrapped only where the phrase/span matched, so
+    * a stray "york" far from "new" stays unhighlighted for the phrase
+    * query "new york". */
+  def bestFragmentsSpanAware(q: Query, analyzer: Analyzer, text: String,
+      fragmentSize: Int = 100, maxFragments: Int = 3,
+      pre: String = "<B>", post: String = "</B>"): Seq[String] = {
+    val doc = BruteForce.analyzeCorpus(analyzer, Seq((0L, text))).head
+    val wst = weightedSpanTerms(q, t => doc.termPositions.get(t))
+    if (wst.isEmpty || text.isEmpty) return Nil
+    val tokens = analyzer.analyze(text).toArray
+    if (tokens.isEmpty) return Nil
+    // token index → token position (posIncr-accumulated, first at 0)
+    val positions = new Array[Int](tokens.length)
+    var pos = -1
+    var i = 0
+    while (i < tokens.length) {
+      pos += math.max(1, tokens(i).posIncr); positions(i) = pos; i += 1
+    }
+    render(tokens, text, fragmentSize, maxFragments, pre, post,
+      (idx, term) => wst.get(term).filter(_.checkPosition(positions(idx))).map(_.weight))
+  }
+
   /** Best fragments, highest score first (Highlighter.cpp
     * getBestTextFragments); fragments with no matched term are dropped. */
   def bestFragments(q: Query, analyzer: Analyzer, text: String,
@@ -54,7 +146,15 @@ object Highlighter {
 
     val tokens = analyzer.analyze(text).toArray
     if (tokens.isEmpty) return Nil
+    render(tokens, text, fragmentSize, maxFragments, pre, post,
+      (_, term) => weights.get(term))
+  }
 
+  /** Shared fragment/score/markup loop: `tokenWeight` returns the weight
+    * when the token at that index should highlight, None otherwise. */
+  private def render(tokens: Array[graft.analysis.Token], text: String,
+      fragmentSize: Int, maxFragments: Int, pre: String, post: String,
+      tokenWeight: (Int, String) => Option[Float]): Seq[String] = {
     // SimpleFragmenter: a new fragment starts once a token's end offset
     // crosses the next fragmentSize boundary
     val frags = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // token index range
@@ -78,7 +178,7 @@ object Highlighter {
       var t = a
       while (t < b) {
         val term = tokens(t).term
-        if (weights.contains(term) && seen.add(term)) s += weights(term)
+        tokenWeight(t, term).foreach(w => if (seen.add(term)) s += w)
         t += 1
       }
       val srcStart = if (a == 0) 0 else tokens(a).start
@@ -92,7 +192,7 @@ object Highlighter {
       var t = a
       while (t < b) {
         val tok = tokens(t)
-        if (weights.contains(tok.term) && tok.start >= cur) {
+        if (tokenWeight(t, tok.term).isDefined && tok.start >= cur) {
           sb.append(text.substring(cur, tok.start)).append(pre)
             .append(text.substring(tok.start, tok.end)).append(post)
           cur = tok.end

@@ -68,6 +68,37 @@ class ContribSpec extends AnyFunSuite {
     assert(Highlighter.bestFragments(TermQ("zzz"), WhitespaceAnalyzer, "a b c").isEmpty)
   }
 
+  test("span-aware highlighter: phrase terms highlight only where the phrase matches") {
+    // 'york' appears alone early and as part of 'new york' later — the
+    // QueryScorer path must tag only the phrase occurrence
+    val text = "york alone first then new york city later"
+    val f = Highlighter.bestFragmentsSpanAware(
+      PhraseQ(Seq("new", "york")), WhitespaceAnalyzer, text, fragmentSize = 200)
+    assert(f == Seq("york alone first then <B>new</B> <B>york</B> city later"))
+
+    // the term-level scorer highlights both occurrences (the difference)
+    val f0 = Highlighter.bestFragments(
+      PhraseQ(Seq("new", "york")), WhitespaceAnalyzer, text, fragmentSize = 200)
+    assert(f0 == Seq("<B>york</B> alone first then <B>new</B> <B>york</B> city later"))
+
+    // span-near: only terms inside an actual match window are tagged
+    val t2 = "alpha beta gap gap gap gap gap gap alpha omega beta end"
+    val f2 = Highlighter.bestFragmentsSpanAware(
+      SpanNearQ(Seq(SpanTermQ("alpha"), SpanTermQ("beta")), slop = 1, inOrder = true),
+      WhitespaceAnalyzer, t2, fragmentSize = 200)
+    assert(f2 == Seq("<B>alpha</B> <B>beta</B> gap gap gap gap gap gap <B>alpha</B> omega <B>beta</B> end"))
+
+    // a plain term clause keeps its insensitive highlighting alongside
+    val f3 = Highlighter.bestFragmentsSpanAware(
+      BoolQ(should = Seq(PhraseQ(Seq("new", "york")), TermQ("york"))),
+      WhitespaceAnalyzer, text, fragmentSize = 200)
+    assert(f3 == Seq("<B>york</B> alone first then <B>new</B> <B>york</B> city later"))
+
+    // no phrase match in the doc -> nothing highlighted at all
+    assert(Highlighter.bestFragmentsSpanAware(
+      PhraseQ(Seq("new", "jersey")), WhitespaceAnalyzer, text).isEmpty)
+  }
+
   test("payloads: delimited analyzer, payload term scoring, merge-safe") {
     import graft.analysis.PayloadCodec
     import graft.score.{BM25Exact, CorpusStats, Similarity, TermWeight}
