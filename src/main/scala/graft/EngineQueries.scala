@@ -14,13 +14,14 @@ import graft.search.{IndexSearcher, Query}
   * CTE to 1e-15 and are compared at round(…, 4)). */
 object EngineQueries {
 
-  /** Process-lifetime searcher cache keyed by (variant, sfDir) — right for
-    * the driver harness, where each sfDir's index is immutable once built.
-    * A long-lived service over a MUTATING index should key by generation
-    * instead (the way ReaderCache keys carry `#<delGen>`) or re-resolve per
-    * request; [[deleteRequery]] sidesteps this by working on a scratch copy
-    * and opening fresh searchers. */
-  private val searchers = scala.collection.concurrent.TrieMap.empty[String, IndexSearcher]
+  /** Searcher cache keyed by (variant, sfDir), invalidated by commit
+    * generation: a cached searcher is reused only while its index
+    * directory's latest commit generation is unchanged, so a mutation
+    * (delete batch, streaming append, update) through any path gets a
+    * fresh searcher — and fresh delgen-keyed readers — on the next
+    * lookup, the same rule ReaderCache applies per segment. */
+  private val searchers =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, IndexSearcher)]
 
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) { val l = f.listFiles(); if (l != null) l.foreach(rm) }
@@ -42,29 +43,35 @@ object EngineQueries {
     * stale is wiped and rebuilt. */
   private def cachedIndex(spark: SparkSession, sfDir: String, tag: String,
       analyzer: String, payloads: Boolean, docMap: Boolean)(
-      corpusOf: DataFrame => DataFrame): IndexSearcher =
-    searchers.getOrElseUpdate(tag + ":" + sfDir, {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-index-" + tag + sfDir.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
-      val committed = IndexMetaIO.readLatestWithExtra(dir)
-        .filter { case (_, extra) => extra.get("format").contains(IndexMetaIO.FormatVersion) }
-        .filter { case (m, _) => // stale segment layout → rebuild
-          m.segments.nonEmpty &&
-            (!payloads || m.segments.forall(_.hasPayloads)) &&
-            m.segments.map(_.docCount).max ==
-              math.min(expectedPerSeg(m.numDocs).toLong, m.numDocs)
+      corpusOf: DataFrame => DataFrame): IndexSearcher = {
+    val key = tag + ":" + sfDir
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-index-" + tag + sfDir.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
+    searchers.get(key) match {
+      case Some((gen, s)) if IndexMetaIO.latestGen(dir).contains(gen) => s
+      case _ =>
+        val committed = IndexMetaIO.readLatestWithExtra(dir)
+          .filter { case (_, extra) => extra.get("format").contains(IndexMetaIO.FormatVersion) }
+          .filter { case (m, _) => // stale segment layout → rebuild
+            m.segments.nonEmpty &&
+              (!payloads || m.segments.forall(_.hasPayloads)) &&
+              m.segments.map(_.docCount).max ==
+                math.min(expectedPerSeg(m.numDocs).toLong, m.numDocs)
+          }
+          .filter(_ => !docMap || new java.io.File(dir, "docmap/_SUCCESS").exists())
+        if (committed.isEmpty) {
+          if (new java.io.File(dir).exists()) rm(new java.io.File(dir))
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val perSeg = expectedPerSeg(docs.count())
+          IndexBuilder.build(spark, corpusOf(docs),
+            IndexConfig(dir, analyzer = analyzer, docsPerSegment = perSeg,
+              storePositions = true, writeDocMap = docMap, storePayloads = payloads))
         }
-        .filter(_ => !docMap || new java.io.File(dir, "docmap/_SUCCESS").exists())
-      if (committed.isEmpty) {
-        if (new java.io.File(dir).exists()) rm(new java.io.File(dir))
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        val perSeg = expectedPerSeg(docs.count())
-        IndexBuilder.build(spark, corpusOf(docs),
-          IndexConfig(dir, analyzer = analyzer, docsPerSegment = perSeg,
-            storePositions = true, writeDocMap = docMap, storePayloads = payloads))
-      }
-      new IndexSearcher(spark, dir)
-    })
+        val s = new IndexSearcher(spark, dir)
+        searchers.put(key, (IndexMetaIO.latestGen(dir).getOrElse(0), s))
+        s
+    }
+  }
 
   /** docIDs: the builder assigns docId = rank of url; urls are zero-padded
     * doc_ids, so engine docId == documents.doc_id. */
