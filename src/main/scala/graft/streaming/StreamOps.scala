@@ -37,6 +37,46 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("term"), col("freq"))
   }
 
+  final case class Page(url: String, text: String)
+  final case class SeenState(firstUrl: String, dups: Long)
+  final case class DedupedPage(url: String, text: String, fp: String)
+
+  /** Streaming exact dedup: across ALL micro-batches, emit only the first
+    * page carrying each content fingerprint (md5 of whitespace-normalized
+    * lowercased text — the same key as the batch dedup_exact operator).
+    * State is one tiny record per distinct fingerprint, partitioned by the
+    * fingerprint hash, so an endless crawl shards its seen-set over the
+    * cluster instead of accreting it anywhere central. Updates/duplicates
+    * within one batch keep the lexicographically-first url
+    * (deterministic under batch reordering). */
+  def dedupStream(pages: Dataset[Page]): Dataset[DedupedPage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .map { p =>
+        val norm = p.text.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (md, p.url, p.text)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SeenState, DedupedPage](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (fp, rows, state: GroupState[SeenState]) =>
+          val batch = rows.toSeq.sortBy(_._2)
+          if (state.exists) {
+            state.update(SeenState(state.get.firstUrl,
+              state.get.dups + batch.size))
+            Iterator.empty
+          } else {
+            val first = batch.head
+            state.update(SeenState(first._2, batch.size - 1L))
+            Iterator(DedupedPage(first._2, first._3, fp))
+          }
+      }
+  }
+
   final case class Event(userId: Long, ts: Timestamp)
   final case class SessionState(start: Long, end: Long, events: Int)
   final case class Session(userId: Long, startMs: Long, endMs: Long,

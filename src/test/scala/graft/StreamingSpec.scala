@@ -126,6 +126,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: first page per fingerprint across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+
+    val in = MemoryStream[StreamOps.Page]
+    val out = StreamOps.dedupStream(in.toDS())
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct + an in-batch duplicate (whitespace/case
+      // folded by the fingerprint)
+      in.addData(
+        StreamOps.Page("u2", "Hello   World"),
+        StreamOps.Page("u1", "hello world"),
+        StreamOps.Page("u3", "totally different"))
+      q.processAllAvailable()
+      val b1 = spark.table("dedup").as[StreamOps.DedupedPage].collect()
+      assert(b1.map(_.url).toSet == Set("u1", "u3"), b1.toSeq) // u1 < u2
+      // batch 2: a cross-batch duplicate is suppressed; a new page passes
+      in.addData(
+        StreamOps.Page("u9", "HELLO WORLD"),
+        StreamOps.Page("u4", "brand new content"))
+      q.processAllAvailable()
+      val b2 = spark.table("dedup").as[StreamOps.DedupedPage].collect()
+      assert(b2.map(_.url).toSet == Set("u1", "u3", "u4"), b2.toSeq)
+      // fingerprints match the batch operator's md5 definition
+      assert(b2.forall(_.fp.length == 32))
+    } finally q.stop()
+  }
+
   test("sessionize survives an event older than the watermark (timeout clamp)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
