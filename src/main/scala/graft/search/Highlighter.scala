@@ -16,6 +16,46 @@ import graft.analysis.Analyzer
   * which reads terms from the (rewritten) query. */
 object Highlighter {
 
+  /** Markup hook: (matched source text, score) → wrapped text. */
+  type Formatter = (String, Float) => String
+
+  /** SimpleHTMLFormatter.cpp: fixed pre/post tags. */
+  def tagFormatter(pre: String = "<B>", post: String = "</B>"): Formatter =
+    (t, _) => pre + t + post
+
+  /** GradientFormatter.cpp: a font tag whose fore/background colors are
+    * interpolated by score between min and max hex colors ("#rrggbb").
+    * Ported quirk and all: getColorVal interpolates upward from the
+    * LOWER channel value regardless of which endpoint is the min color. */
+  def gradientFormatter(maxScore: Float,
+      minFg: String = null, maxFg: String = null,
+      minBg: String = null, maxBg: String = null): Formatter = {
+    def parse(c: String): Array[Int] = {
+      require(c.length == 7 && c.charAt(0) == '#',
+        s"color is not a hex RGB value such as #FFFFFF: $c")
+      Array(Integer.parseInt(c.substring(1, 3), 16),
+        Integer.parseInt(c.substring(3, 5), 16),
+        Integer.parseInt(c.substring(5, 7), 16))
+    }
+    val fg = if (minFg != null && maxFg != null) Some((parse(minFg), parse(maxFg))) else None
+    val bg = if (minBg != null && maxBg != null) Some((parse(minBg), parse(maxBg))) else None
+    def colorVal(lo: Int, hi: Int, score: Float): Int =
+      if (lo == hi) lo
+      else math.min(lo, hi) +
+        (math.abs(lo - hi) * (math.min(maxScore, score) / maxScore)).toInt
+    def color(ends: (Array[Int], Array[Int]), score: Float): String =
+      (0 until 3).map(i => f"${colorVal(ends._1(i), ends._2(i), score)}%02x").mkString
+    (text, score) =>
+      if (score <= 0f) text
+      else {
+        val sb = new StringBuilder("<font ")
+        fg.foreach(e => sb.append("color=\"#").append(color(e, score)).append("\" "))
+        bg.foreach(e => sb.append("bgcolor=\"#").append(color(e, score)).append("\" "))
+        sb.append(">").append(text).append("</font>")
+        sb.toString
+      }
+  }
+
   /** (term → weight) extraction, QueryTermExtractor.cpp semantics: positive
     * clauses only, weight = accumulated boost. */
   def weightedTerms(q: Query): Map[String, Float] = {
@@ -119,7 +159,9 @@ object Highlighter {
     * query "new york". */
   def bestFragmentsSpanAware(q: Query, analyzer: Analyzer, text: String,
       fragmentSize: Int = 100, maxFragments: Int = 3,
-      pre: String = "<B>", post: String = "</B>"): Seq[String] = {
+      pre: String = "<B>", post: String = "</B>",
+      formatterOverride: Formatter = null): Seq[String] = {
+    val formatter = if (formatterOverride != null) formatterOverride else tagFormatter(pre, post)
     val doc = BruteForce.analyzeCorpus(analyzer, Seq((0L, text))).head
     val wst = weightedSpanTerms(q, t => doc.termPositions.get(t))
     if (wst.isEmpty || text.isEmpty) return Nil
@@ -132,7 +174,7 @@ object Highlighter {
     while (i < tokens.length) {
       pos += math.max(1, tokens(i).posIncr); positions(i) = pos; i += 1
     }
-    render(tokens, text, fragmentSize, maxFragments, pre, post,
+    render(tokens, text, fragmentSize, maxFragments, formatter,
       (idx, term) => wst.get(term).filter(_.checkPosition(positions(idx))).map(_.weight))
   }
 
@@ -140,20 +182,22 @@ object Highlighter {
     * getBestTextFragments); fragments with no matched term are dropped. */
   def bestFragments(q: Query, analyzer: Analyzer, text: String,
       fragmentSize: Int = 100, maxFragments: Int = 3,
-      pre: String = "<B>", post: String = "</B>"): Seq[String] = {
+      pre: String = "<B>", post: String = "</B>",
+      formatterOverride: Formatter = null): Seq[String] = {
+    val formatter = if (formatterOverride != null) formatterOverride else tagFormatter(pre, post)
     val weights = weightedTerms(q)
     if (weights.isEmpty || text.isEmpty) return Nil
 
     val tokens = analyzer.analyze(text).toArray
     if (tokens.isEmpty) return Nil
-    render(tokens, text, fragmentSize, maxFragments, pre, post,
+    render(tokens, text, fragmentSize, maxFragments, formatter,
       (_, term) => weights.get(term))
   }
 
   /** Shared fragment/score/markup loop: `tokenWeight` returns the weight
     * when the token at that index should highlight, None otherwise. */
   private def render(tokens: Array[graft.analysis.Token], text: String,
-      fragmentSize: Int, maxFragments: Int, pre: String, post: String,
+      fragmentSize: Int, maxFragments: Int, formatter: Formatter,
       tokenWeight: (Int, String) => Option[Float]): Seq[String] = {
     // SimpleFragmenter: a new fragment starts once a token's end offset
     // crosses the next fragmentSize boundary
@@ -192,9 +236,10 @@ object Highlighter {
       var t = a
       while (t < b) {
         val tok = tokens(t)
-        if (tokenWeight(t, tok.term).isDefined && tok.start >= cur) {
-          sb.append(text.substring(cur, tok.start)).append(pre)
-            .append(text.substring(tok.start, tok.end)).append(post)
+        val w = tokenWeight(t, tok.term)
+        if (w.isDefined && tok.start >= cur) {
+          sb.append(text.substring(cur, tok.start))
+            .append(formatter(text.substring(tok.start, tok.end), w.get))
           cur = tok.end
         }
         t += 1

@@ -99,6 +99,21 @@ class ContribSpec extends AnyFunSuite {
       PhraseQ(Seq("new", "jersey")), WhitespaceAnalyzer, text).isEmpty)
   }
 
+  test("gradient formatter interpolates colors by score (reference quirk preserved)") {
+    val f = Highlighter.gradientFormatter(maxScore = 2f,
+      minBg = "#000000", maxBg = "#ff0000")
+    assert(f("word", 2f) == "<font bgcolor=\"#ff0000\" >word</font>")
+    assert(f("word", 1f) == "<font bgcolor=\"#7f0000\" >word</font>")
+    assert(f("word", 0f) == "word")
+    // through the highlighter: boosted term scores a darker tag
+    val frags = Highlighter.bestFragments(
+      BoolQ(should = Seq(TermQ("fox", 2f), TermQ("ran", 1f))),
+      WhitespaceAnalyzer, "the fox ran", fragmentSize = 100,
+      formatterOverride = f)
+    assert(frags == Seq("the <font bgcolor=\"#ff0000\" >fox</font> " +
+      "<font bgcolor=\"#7f0000\" >ran</font>"))
+  }
+
   test("payloads: delimited analyzer, payload term scoring, merge-safe") {
     import graft.analysis.PayloadCodec
     import graft.score.{BM25Exact, CorpusStats, Similarity, TermWeight}
