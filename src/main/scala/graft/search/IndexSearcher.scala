@@ -164,18 +164,18 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
     * dictionary expansion (MultiTerm scaladoc). */
   private def expandQueries(queries: Seq[(String, Query)]): Seq[(String, Query)] = {
     if (!queries.exists { case (_, q) => Query.hasMultiTerm(q) }) return queries
-    def collectNodes(q: Query): Seq[MultiTermQ] = q match {
-      case mt: MultiTermQ => Seq(mt)
-      case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(collectNodes)
-      case ConstantScoreQ(inner, _) => collectNodes(inner)
-      case CachedQ(inner) => collectNodes(inner)
-      case CustomScoreQ(sub, _, _, _) => collectNodes(sub)
-      case DisMaxQ(ds, _, _) => ds.flatMap(collectNodes)
-      case FilteredQ(q2, f) => collectNodes(q2) ++ collectNodes(f)
-      case _ => Nil
-    }
-    val nodes: Seq[MultiTermQ] = queries.flatMap { case (_, q) => collectNodes(q) }.distinct
+    val nodes: Seq[MultiTermQ] =
+      queries.flatMap { case (_, q) => IndexSearcher.collectMultiTermNodes(q) }.distinct
     if (nodes.isEmpty) return queries
+    IndexSearcher.rewriteWithTermSets(queries, multiTermMatches(nodes))
+  }
+
+  /** Matched dictionary terms per multi-term node, collected across this
+    * index's segments (the distributed half of expansion — exposed so a
+    * cross-index MultiSearcher can union the sets before rewriting once,
+    * like the reference's rewrite against the combined reader). */
+  private[search] def multiTermMatches(
+      nodes: Seq[MultiTermQ]): Map[MultiTermQ, Seq[String]] = {
     val sc = spark.sparkContext
     val bcNodes = sc.broadcast(nodes)
     val matched: Map[MultiTermQ, Seq[String]] = sc
@@ -199,23 +199,7 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
       .groupBy(_._1)
       .map { case (n, ts) => n -> ts.map(_._2).toSeq.sorted }
     bcNodes.destroy()
-    val termSets = matched
-    // rewrite with per-node term sets (expand consumes a term iterator; feed
-    // it the node's own matched list by re-dispatching per node)
-    def rewriteTree(q: Query): Query = q match {
-      case mt: MultiTermQ =>
-        val terms = termSets.getOrElse(mt, Nil)
-        MultiTerm.expand(mt, _ => terms.iterator)
-      case BoolQ(m, s, n, msm) =>
-        BoolQ(m.map(rewriteTree), s.map(rewriteTree), n.map(rewriteTree), msm)
-      case ConstantScoreQ(inner, boost) => ConstantScoreQ(rewriteTree(inner), boost)
-      case CachedQ(inner) => CachedQ(rewriteTree(inner))
-      case cs: CustomScoreQ => cs.copy(sub = rewriteTree(cs.sub))
-      case DisMaxQ(ds, tie, boost) => DisMaxQ(ds.map(rewriteTree), tie, boost)
-      case FilteredQ(q2, f) => FilteredQ(rewriteTree(q2), rewriteTree(f))
-      case other => other
-    }
-    queries.map { case (id, q) => id -> rewriteTree(q) }
+    matched
   }
 
   /** ALL matching docIds as a DataFrame — the match-set path. Matches are
@@ -347,11 +331,21 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
       useWand: Boolean = true): Map[String, Array[ScoredDoc]] = {
     val queries = expandQueries(queries0)
     val allTerms = queries.flatMap { case (_, q) => Query.allTerms(q) }.toSet
-    val dfMap = globalDf(allTerms)
+    searchBatchWith(queries, k, sim, useWand, stats, globalDf(allTerms), 0L)
+  }
+
+  /** The post-expansion scatter/merge with CALLER-SUPPLIED scoring stats,
+    * document frequencies, and a docId offset — the hook a cross-index
+    * MultiSearcher uses so every sub-index scores with the combined
+    * corpus's weights (reference MultiSearcher::createWeight +
+    * CachedDfSource, /root/reference/src/core/search/MultiSearcher.cpp). */
+  private[search] def searchBatchWith(queries: Seq[(String, Query)], k: Int,
+      sim: Similarity, useWand: Boolean, st0: CorpusStats,
+      dfMap: Map[String, Long], docIdOffset: Long): Map[String, Array[ScoredDoc]] = {
+    val st = st0
     val sc = spark.sparkContext
     val bcDf = sc.broadcast(dfMap)
     val bcQueries = sc.broadcast(queries)
-    val st = stats
 
     val perSegment = sc.parallelize(segDirs, math.max(1, segDirs.size))
       .flatMap { dir =>
@@ -377,8 +371,102 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
     bcDf.destroy()
 
     collected.groupBy(_._1).map { case (id, hits) =>
-      id -> hits.iterator.flatMap(_._2).toArray
+      val merged = hits.iterator.flatMap(_._2).toArray
         .sortBy(h => (-h.score, h.docId)).take(k)
+      id -> (if (docIdOffset == 0L) merged
+             else merged.map(h => h.copy(docId = h.docId + docIdOffset)))
     }
+  }
+}
+
+/** Cross-index searcher — the reference's MultiSearcher over several
+  * physical indexes (/root/reference/src/core/search/MultiSearcher.cpp):
+  * docFreq sums across sub-indexes, scoring stats come from the combined
+  * corpus (so scores are comparable across indexes — MultiSearcher's
+  * CachedDfSource weight creation), result docIds are offset by each
+  * sub-index's start (starts[] remapping), and multi-term expansion
+  * rewrites ONCE against the union of the sub-dictionaries. */
+final class MultiIndexSearcher(subs: Seq[IndexSearcher]) {
+  require(subs.nonEmpty, "MultiIndexSearcher needs at least one sub-index")
+
+  /** docId offset per sub-index, in order (MultiSearcher starts[]). */
+  val starts: Seq[Long] = subs.scanLeft(0L)(_ + _.meta.numDocs).init
+
+  val stats: CorpusStats = {
+    val docs = subs.map(_.meta.numDocs).sum
+    val sumDl = subs.map(_.meta.sumDocLength).sum
+    CorpusStats(docs, if (docs == 0) 0.0 else sumDl.toDouble / docs)
+  }
+
+  def globalDf(terms: Set[String]): Map[String, Long] =
+    subs.map(_.globalDf(terms)).foldLeft(Map.empty[String, Long]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (t, df)) => a.updated(t, a.getOrElse(t, 0L) + df) }
+    }
+
+  def search(q: Query, k: Int, sim: Similarity,
+      useWand: Boolean = true): Array[ScoredDoc] =
+    searchBatch(Seq("q" -> q), k, sim, useWand)("q")
+
+  def searchBatch(queries0: Seq[(String, Query)], k: Int, sim: Similarity,
+      useWand: Boolean = true): Map[String, Array[ScoredDoc]] = {
+    // union multi-term expansion across every sub-dictionary, then one
+    // rewrite — per-index expansion would pick different fuzzy/budget
+    // subsets and make scores incomparable
+    val nodes = queries0
+      .flatMap { case (_, q) => IndexSearcher.collectMultiTermNodes(q) }.distinct
+    val queries =
+      if (nodes.isEmpty) queries0
+      else {
+        val union = subs.map(_.multiTermMatches(nodes))
+          .foldLeft(Map.empty[MultiTermQ, Seq[String]]) { (acc, m) =>
+            m.foldLeft(acc) { case (a, (n, ts)) =>
+              a.updated(n, (a.getOrElse(n, Nil) ++ ts).distinct.sorted)
+            }
+          }
+        IndexSearcher.rewriteWithTermSets(queries0, union)
+      }
+    val allTerms = queries.flatMap { case (_, q) => Query.allTerms(q) }.toSet
+    val dfMap = globalDf(allTerms)
+    val perSub = subs.zip(starts).map { case (s, base) =>
+      s.searchBatchWith(queries, k, sim, useWand, stats, dfMap, base)
+    }
+    queries.map { case (id, _) =>
+      id -> perSub.iterator.flatMap(_.getOrElse(id, Array.empty[ScoredDoc]))
+        .toArray.sortBy(h => (-h.score, h.docId)).take(k)
+    }.toMap
+  }
+}
+
+object IndexSearcher {
+
+  private[search] def collectMultiTermNodes(q: Query): Seq[MultiTermQ] = q match {
+    case mt: MultiTermQ => Seq(mt)
+    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(collectMultiTermNodes)
+    case ConstantScoreQ(inner, _) => collectMultiTermNodes(inner)
+    case CachedQ(inner) => collectMultiTermNodes(inner)
+    case CustomScoreQ(sub, _, _, _) => collectMultiTermNodes(sub)
+    case DisMaxQ(ds, _, _) => ds.flatMap(collectMultiTermNodes)
+    case FilteredQ(q2, f) => collectMultiTermNodes(q2) ++ collectMultiTermNodes(f)
+    case _ => Nil
+  }
+
+  /** Rewrite with per-node term sets (expand consumes a term iterator; feed
+    * it the node's own matched list by re-dispatching per node). */
+  private[search] def rewriteWithTermSets(queries: Seq[(String, Query)],
+      termSets: Map[MultiTermQ, Seq[String]]): Seq[(String, Query)] = {
+    def rewriteTree(q: Query): Query = q match {
+      case mt: MultiTermQ =>
+        val terms = termSets.getOrElse(mt, Nil)
+        MultiTerm.expand(mt, _ => terms.iterator)
+      case BoolQ(m, s, n, msm) =>
+        BoolQ(m.map(rewriteTree), s.map(rewriteTree), n.map(rewriteTree), msm)
+      case ConstantScoreQ(inner, boost) => ConstantScoreQ(rewriteTree(inner), boost)
+      case CachedQ(inner) => CachedQ(rewriteTree(inner))
+      case cs: CustomScoreQ => cs.copy(sub = rewriteTree(cs.sub))
+      case DisMaxQ(ds, tie, boost) => DisMaxQ(ds.map(rewriteTree), tie, boost)
+      case FilteredQ(q2, f) => FilteredQ(rewriteTree(q2), rewriteTree(f))
+      case other => other
+    }
+    queries.map { case (id, q) => id -> rewriteTree(q) }
   }
 }
