@@ -59,6 +59,15 @@ object Dedup {
     * are inherent to MinHash. */
   def minHashSignatures(docs: DataFrame, w: Int = 3, numPerms: Int = 64): DataFrame =
     shingles(docs, w).select(col("doc_id"), col("shingles"),
+      graft.functions.MinHashSignature.minhashSig(col("shingles"), numPerms).as("sig"))
+
+  /** The pre-r4 built-in composition of [[minHashSignatures]] — kept as
+    * the executable spec the native expression is pinned against
+    * (PipelineSpec bit-identity test): same xxhash64 fold, but it hashes
+    * the shingle bytes once per (shingle, perm) through the HOF chain. */
+  private[graft] def minHashSignaturesSpec(docs: DataFrame, w: Int = 3,
+      numPerms: Int = 64): DataFrame =
+    shingles(docs, w).select(col("doc_id"), col("shingles"),
       aggregate(col("shingles"),
         array_repeat(lit(Long.MaxValue), numPerms),
         (acc, s) => zip_with(acc, sequence(lit(0), lit(numPerms - 1)),

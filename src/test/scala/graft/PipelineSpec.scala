@@ -193,6 +193,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(2L) == ((0L, 2L)))
   }
 
+  test("native minhash_signature == built-in xxhash64 composition, bit-for-bit") {
+    val native = Dedup.minHashSignatures(docs, w = 3, numPerms = 64)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    val spec = Dedup.minHashSignaturesSpec(docs, w = 3, numPerms = 64)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(native.keySet == spec.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig == spec(id), s"doc $id signature diverged")
+    }
+    // and the whole-stage-codegen path actually compiles the expression
+    val plan = Dedup.minHashSignatures(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("minhash_signature"), plan)
+  }
+
   test("quality filter reports the first failed rule; source mix shares sum to 1") {
     val d = Seq(
       (1L, "too short", "en", "s0"),
