@@ -108,6 +108,22 @@ object Demo {
         s"; surviving 'batch' docs=${s3c.matchingDocs(TQ("batch")).count()}")
     }
 
+    // cross-index search: this index + a tiny second index, combined stats
+    locally {
+      import spark.implicits._
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-demo-idx2").toString
+      graft.index.IndexBuilder.build(spark,
+        Seq(("zz-x1", "window into a second index"),
+          ("zz-x2", "merge of two worlds")).toDF("url", "text"),
+        graft.index.IndexConfig(dir2, analyzer = s3b.meta.analyzer,
+          docsPerSegment = 2, writeDocMap = false))
+      val multi = new graft.search.MultiIndexSearcher(
+        Seq(new IndexSearcher(spark, dir), new IndexSearcher(spark, dir2)))
+      val hits = multi.search(TQ("window"), 3, BM25())
+      println(s"[demo] multi-index 'window' top-3 over ${multi.stats.numDocs} docs: " +
+        hits.map(h => s"${h.docId}").mkString(","))
+    }
+
     // percolation + highlighting (contrib analogs)
     val mi = new MemoryIndex("streamed window batch text", WhitespaceAnalyzer)
     println(s"[demo] memory-index percolation 'window AND batch': " +
