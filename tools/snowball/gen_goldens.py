@@ -61,8 +61,19 @@ langs = {
  "spanish":"stem_UTF_8_spanish.c", "italian":"stem_UTF_8_italian.c",
  "portuguese":"stem_UTF_8_portuguese.c", "finnish":"stem_UTF_8_finnish.c",
  "romanian":"stem_UTF_8_romanian.c", "hungarian":"stem_UTF_8_hungarian.c",
- "turkish":"stem_UTF_8_turkish.c",
+ "turkish":"stem_UTF_8_turkish.c", "german":"stem_UTF_8_german.c",
+ "dutch":"stem_UTF_8_dutch.c", "french":"stem_UTF_8_french.c",
+ "russian":"stem_UTF_8_russian.c",
 }
+
+# language-flavored roots for the second wave
+base_roots += """haus häuser kind kinder schön schöner groß grosse lauf laufen
+aufeinander getan gebildet verbindung zufriedenheit
+fiets fietsen huis huizen mooi mooie lopend gelopen heid heden lichamelijk
+maison maisons beau belle courir couru manger mangé étudi étudiant
+logement important frapp frappé copi copier vétu yeux
+дом дома книг книга красив красивый бега бегать важн важность
+петь пела голос голоса""".split()
 
 for lang, cf in langs.items():
     sufs = sorted(extract_strings(os.path.join(SRC, cf)))
