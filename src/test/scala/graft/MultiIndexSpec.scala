@@ -70,4 +70,34 @@ class MultiIndexSpec extends AnyFunSuite {
     val t = QueryGen.vocab.head
     assert(multi.globalDf(Set(t)) == single.globalDf(Set(t)))
   }
+
+  test("fuzz: 150 random query trees over a random 3-way split == combined index") {
+    val rnd = new scala.util.Random(2026)
+    val all = (0 until 30).map(i => (f"d$i%05d",
+      (0 until 4 + rnd.nextInt(8)).map(_ => QueryGen.vocab(rnd.nextInt(QueryGen.vocab.size))).mkString(" ")))
+    // contiguous split so single-index docIds line up with starts[]
+    val cut1 = 11
+    val cut2 = 21
+    val dirs = Seq(all.slice(0, cut1), all.slice(cut1, cut2), all.slice(cut2, 30)).map(build)
+    val dirC = build(all)
+    ReaderCache.clear()
+    val multi = new MultiIndexSearcher(dirs.map(new IndexSearcher(spark, _)))
+    val single = new IndexSearcher(spark, dirC)
+    assert(multi.starts == Seq(0L, 11L, 21L))
+
+    var nonEmpty = 0
+    for (run <- 0 until 150) {
+      val q = QueryGen.randQuery(rnd, 0)
+      val k = 1 + rnd.nextInt(8)
+      val m = multi.search(q, k, BM25(), useWand = rnd.nextBoolean())
+      val s = single.search(q, k, BM25(), useWand = rnd.nextBoolean())
+      assert(m.map(_.docId).toSeq == s.map(_.docId).toSeq,
+        s"run=$run q=$q\n multi=${m.toSeq}\n single=${s.toSeq}")
+      m.zip(s).foreach { case (a, b) =>
+        assert(a.score == b.score, s"run=$run doc ${a.docId}: ${a.score} != ${b.score} q=$q")
+      }
+      if (m.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 60, s"only $nonEmpty of 150 queries matched anything")
+  }
 }
