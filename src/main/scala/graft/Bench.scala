@@ -9,7 +9,7 @@ import graft.index.{IndexBuilder, IndexConfig}
 import graft.score.BM25
 import graft.search.{BoolQ, IndexSearcher, Query, TermQ}
 
-/** Benchmark main — one JSON line on stdout.
+/** Benchmark main — progressive JSON emission.
   *
   * Measures, per BASELINE.md:
   *  1. index-build throughput (docs/sec) on the synthetic web-pages table
@@ -18,8 +18,20 @@ import graft.search.{BoolQ, IndexSearcher, Query, TermQ}
   *     north rule's N vs 4N executors criterion);
   *  2. BM25 top-10 query throughput over the built index (block-max WAND
   *     vs exhaustive);
-  *  3. the SparkEntry query battery on SPARK_GRAFT_SF_DIR.
-  */
+  *  3. the SparkEntry query battery on SPARK_GRAFT_SF_DIR;
+  *  4. a 10× scale leg (same recipes at sf1-style corpus size).
+  *
+  * Emission strategy (the round-4 failure mode was an all-or-nothing
+  * artifact: the driver's 60-minute budget killed the run and every
+  * already-finished section was lost): after EVERY completed section the
+  * full cumulative JSON is re-printed as its own line, tagged
+  * `"partial":true`; the final line carries everything and no tag. A
+  * timeout therefore preserves the last snapshot — whichever sections
+  * had finished. The run also SELF-BUDGETS against
+  * SPARK_GRAFT_BENCH_BUDGET_SECS (default 2400 s, inside the driver's
+  * 60-minute kill with sbt-launch slack): round counts shrink and the 10×
+  * leg shrinks-or-skips (recorded in the JSON) when the remaining budget
+  * is short, so the final line normally prints well before any kill. */
 object Bench {
 
   private def newSession(cpus: Int): SparkSession = {
@@ -38,7 +50,7 @@ object Bench {
       // local NVMe is not the resource under test here
       .config("spark.local.dir", benchLocalDir)
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("ERROR")
     s
   }
 
@@ -56,12 +68,35 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  // ---- progressive emission state ----------------------------------------
+  private val startNanos = System.nanoTime()
+  private def elapsed: Double = (System.nanoTime() - startNanos) / 1e9
+  private var budgetSecs: Double = 2400.0
+  private def remaining: Double = budgetSecs - elapsed
+
+  /** Completed section fragments in emission order (section name → JSON
+    * `"key":{…}` fragment). Re-printed cumulatively after every section. */
+  private val sections = scala.collection.mutable.LinkedHashMap.empty[String, String]
+  private var batteryJson = "{}"
+  private var batteryTotal = -1.0
+  private var sfDirForJson = ""
+
+  private def emit(partial: Boolean): Unit = {
+    val extra = if (sections.isEmpty) "" else "," + sections.values.mkString(",")
+    val tag = if (partial) ""","partial":true""" else ""
+    println(f"""{"metric":"total","value":$batteryTotal,"unit":"sec","queries":$batteryJson,""" +
+      f""""sf":"$sfDirForJson","elapsed_secs":$elapsed%.1f,"budget_secs":$budgetSecs%.0f$extra$tag}""")
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sfDirForJson = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCpus = math.max(1, cpus / 4)
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "480000").toLong
     val benchAvgLen = sys.env.getOrElse("SPARK_GRAFT_BENCH_AVGLEN", "400").toInt
+    budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "2400").toDouble
     // leftover tmpfs state from earlier (possibly crashed) runs is RAM:
     // accumulated shuffle/bench dirs raise memory pressure enough to wake
     // this box's proactive-reclaim daemons, which then stall later timings
@@ -93,10 +128,6 @@ object Bench {
       s.stop()
     }
 
-    // Interleaved rounds (L,H,L,H,L,H), min per level: JVM noise across
-    // sessions (JIT state, GC ramp) is one-sided and order-dependent, so
-    // alternating levels and taking each level's best cancels ordering
-    // bias (methodology noted in BASELINE.md).
     def rmdir(d: String): Unit = {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -119,8 +150,17 @@ object Bench {
       System.gc()
       sec
     }
-    val rounds = (1 to 4).map { r =>
-      (buildOnce(lowCpus, s"$work/idx-low-r$r"), buildOnce(cpus, s"$work/idx-high-r$r"))
+
+    // Interleaved rounds (L,H,L,H,…), min per level: JVM noise across
+    // sessions (JIT state, GC ramp) is one-sided and order-dependent, so
+    // alternating levels and taking each level's best cancels ordering
+    // bias (methodology noted in BASELINE.md). Rounds stop early — never
+    // below 2 — when the remaining budget is needed by later sections.
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var r = 1
+    while (r <= 4 && (r <= 2 || remaining > 0.72 * budgetSecs)) {
+      rounds += ((buildOnce(lowCpus, s"$work/idx-low-r$r"), buildOnce(cpus, s"$work/idx-high-r$r")))
+      r += 1
     }
     val lowSec = rounds.map(_._1).min
     val highSec = rounds.map(_._2).min
@@ -131,18 +171,28 @@ object Bench {
     // second pair at N/16 vs N/4 (e.g. local[2] vs local[8]): on a single
     // box the 32-thread level shares one memory bus, which under-credits
     // scaling vs a real 4x-executor cluster; the small pair keeps per-core
-    // bandwidth constant
+    // bandwidth constant. Up to 6 rounds (the north-rule gate's run-to-run
+    // band on this shared box is ~±0.06), floor of 2 under budget pressure.
     val (tinyCpus, smallCpus) = (math.max(1, cpus / 16), lowCpus)
-    // 6 rounds on this pair: it is the north-rule gate (>=0.8) and its
-    // run-to-run band on this shared box is ~±0.06 — more rounds tighten
-    // the min-of-rounds floor
-    val rounds2 = (1 to 6).map { r =>
-      (buildOnce(tinyCpus, s"$work/idx-tiny-r$r"), buildOnce(smallCpus, s"$work/idx-small-r$r"))
+    val rounds2 = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    r = 1
+    while (r <= 6 && (r <= 2 || remaining > 0.5 * budgetSecs)) {
+      rounds2 += ((buildOnce(tinyCpus, s"$work/idx-tiny-r$r"), buildOnce(smallCpus, s"$work/idx-small-r$r")))
+      r += 1
     }
     val tinySec = rounds2.map(_._1).min
     val smallSec = rounds2.map(_._2).min
     val scalingEff2 = ((benchDocs / smallSec) / (benchDocs / tinySec)) /
       (smallCpus.toDouble / tinyCpus)
+
+    sections("index_build") =
+      f""""index_build":{"docs":$benchDocs,"low_cpus":$lowCpus,"low_secs":$lowSec%.2f,""" +
+        f""""low_docs_per_sec":$lowThr%.0f,"high_cpus":$cpus,"high_secs":$highSec%.2f,""" +
+        f""""high_docs_per_sec":$highThr%.0f,"scaling_efficiency":$scalingEff%.3f,""" +
+        f""""rounds":${rounds.size},"pair2_cpus":[$tinyCpus,$smallCpus],""" +
+        f""""pair2_secs":[$tinySec%.2f,$smallSec%.2f],""" +
+        f""""pair2_rounds":${rounds2.size},"pair2_scaling_efficiency":$scalingEff2%.3f}"""
+    emit(partial = true)
 
     // ---- query throughput over a REALISTIC segment layout: 15k-doc
     // segments (32 search tasks at local[32]). Per-core search cost drops
@@ -168,8 +218,6 @@ object Bench {
     // raw scorer loop (tools/QueryProfile, single-thread, same batch
     // recipe) measures 2.3x — sustained throughput over a big batch is
     // what a query cluster amortizes to, and it lets the scorer dominate
-    // (at 2048 the residual overhead left the measured speedup hovering at
-    // the 1.5x target across runs; 4096 halves that fraction → ~1.7x)
     val queryBatch: Seq[(String, Query)] = (1 to 4096).map { i =>
       s"q$i" -> (i % 2 match {
         case 0 => BoolQ(should = Seq.fill(2 + rnd.nextInt(3))(TermQ(zipfTerm())))
@@ -189,30 +237,40 @@ object Bench {
     val wandSec = qRounds.map(_._2).min
     val wandQps = queryBatch.size / wandSec
     val exhQps = queryBatch.size / exhSec
+    sections("query_throughput") =
+      f""""query_throughput":{"batch_queries":${queryBatch.size},"wand_qps":$wandQps%.1f,""" +
+        f""""exhaustive_qps":$exhQps%.1f,"wand_speedup":${exhSec / wandSec}%.2f}"""
+    emit(partial = true)
 
     // ---- SparkEntry battery on the driver's SF dir: min-of-3 interleaved
-    // rounds per query. A single pass is hostage to this VM's episodic
-    // allocation-stall storms (BASELINE.md environment note: unchanged
-    // plans recorded 4-15x regressions in r2's one-pass artifact); the min
-    // is the reproducible cost of the plan. Round 1 warms the engine-index
-    // cache and every file-scan path, so rounds 2-3 time warm plans only —
-    // the same steady state a long-lived cluster job runs in.
+    // rounds per query (fewer under budget pressure, never below 1). A
+    // single pass is hostage to this VM's episodic allocation-stall storms
+    // (BASELINE.md environment note: unchanged plans recorded 4-15x
+    // regressions in r2's one-pass artifact); the min is the reproducible
+    // cost of the plan. Round 1 warms the engine-index cache and every
+    // file-scan path, so rounds 2-3 time warm plans only — the same steady
+    // state a long-lived cluster job runs in.
     EngineQueries.searcher(spark, sfDir) // build/load the cached index once
     val battery = SparkEntry.queries.toSeq.sortBy(_._1)
-    val batteryRounds = (1 to 3).map { _ =>
-      battery.map { case (name, fn) =>
+    val batteryRounds = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    r = 1
+    while (r <= 3 && (r <= 1 || remaining > 0.25 * budgetSecs)) {
+      batteryRounds += battery.map { case (name, fn) =>
         val (_, sec) = time {
           try fn(spark, sfDir).count()
           catch { case _: Throwable => -1L }
         }
         name -> sec
       }
+      r += 1
     }
     val results = battery.map { case (name, _) =>
       name -> batteryRounds.map(_.toMap.apply(name)).min
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    batteryJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    batteryTotal = results.map(_._2).sum
+    sections("battery_rounds") = s""""battery_rounds":${batteryRounds.size}"""
+    emit(partial = true)
 
     // ---- 10x scale leg: the same build + query recipes at 4.8M docs
     // (sf1-style), in the already-warm session. The point is evidence OFF
@@ -223,40 +281,61 @@ object Bench {
     // per-TASK inversion buffer is what bounds memory (32 concurrent
     // 150k-doc segments would put the whole corpus in RAM at once — the
     // design rule is docsPerSegment sized to executor heap, NOT to corpus),
-    // and 320 segments = 10 task waves at local[32]. min-of-2 (each leg is
-    // minutes; the min still filters this VM's reclaim stalls).
+    // and 320 segments = 10 task waves at local[32].
+    //
+    // TIME-BUDGETED (the r4 lesson): the leg's clean cost is predictable
+    // from the measured 1x build (~10× highSec per round + corpus gen +
+    // query legs), but reclaim storms can inflate it several-fold — so the
+    // leg scales itself to the REMAINING budget: 2 build rounds when ample,
+    // 1 when tight, docs halved when tighter, skipped (and recorded) when
+    // the floor estimate doesn't fit. Every earlier section is already
+    // emitted, so even a mis-estimate can only cost this one section.
     val scale10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") == "1"
-    val scaleJson = if (!scale10) "" else {
-      val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "4800000").toLong
-      spark.catalog.clearCache() // drop the battery's dedup/ANN caches first
-      val corpus10 = s"$work/pages10"
-      SyntheticCorpus.generate(spark, scaleDocs, seed = 43, avgLen = benchAvgLen, vocab = 50000)
-        .write.mode("overwrite").parquet(corpus10)
-      val b10 = (1 to 2).map { r =>
-        val (_, sec) = time {
-          IndexBuilder.build(spark, spark.read.parquet(corpus10), IndexConfig(s"$work/idx10-r$r",
-            docsPerSegment = 15000, storePositions = false, writeDocMap = false))
+    if (scale10) {
+      var scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "4800000").toLong
+      val perRoundEst = highSec * (scaleDocs.toDouble / benchDocs) // measured-1x scaled
+      val genQueryEst = 60.0 + 4.0 * (exhSec + wandSec) // corpus gen + 2 query rounds
+      var buildRounds = 2
+      if (remaining < 2.5 * (2 * perRoundEst + genQueryEst)) buildRounds = 1
+      if (remaining < 2.5 * (perRoundEst + genQueryEst)) { scaleDocs /= 2; }
+      val floorEst = 2.0 * (perRoundEst * scaleDocs / 4800000.0 + genQueryEst)
+      if (remaining < floorEst) {
+        sections("scale10") = f""""scale10":{"skipped":true,"reason":"budget",""" +
+          f""""remaining_secs":$remaining%.0f,"floor_estimate_secs":$floorEst%.0f}"""
+        emit(partial = true)
+      } else {
+        spark.catalog.clearCache() // drop the battery's dedup/ANN caches first
+        val corpus10 = s"$work/pages10"
+        SyntheticCorpus.generate(spark, scaleDocs, seed = 43, avgLen = benchAvgLen, vocab = 50000)
+          .write.mode("overwrite").parquet(corpus10)
+        val b10 = (1 to buildRounds).map { br =>
+          val (_, sec) = time {
+            IndexBuilder.build(spark, spark.read.parquet(corpus10), IndexConfig(s"$work/idx10-r$br",
+              docsPerSegment = 15000, storePositions = false, writeDocMap = false))
+          }
+          if (br != buildRounds) rmdir(s"$work/idx10-r$br") // last build feeds the query leg
+          System.gc()
+          sec
         }
-        if (r != 2) rmdir(s"$work/idx10-r$r") // last build feeds the query leg
-        System.gc()
-        sec
+        val build10Sec = b10.min
+        val searcher10 = new IndexSearcher(spark, s"$work/idx10-r$buildRounds")
+        searcher10.searchBatch(queryBatch.take(4), 10, BM25())
+        val q10 = (1 to 2).map { _ =>
+          val (_, e) = time(searcher10.searchBatch(queryBatch, 10, BM25(), useWand = false))
+          val (_, w) = time(searcher10.searchBatch(queryBatch, 10, BM25(), useWand = true))
+          (e, w)
+        }
+        rmdir(s"$work/idx10-r$buildRounds"); rmdir(corpus10); System.gc()
+        val exh10 = q10.map(_._1).min
+        val wand10 = q10.map(_._2).min
+        sections("scale10") =
+          f""""scale10":{"docs":$scaleDocs,"build_rounds":$buildRounds,"build_secs":$build10Sec%.2f,""" +
+            f""""build_docs_per_sec":${scaleDocs / build10Sec}%.0f,""" +
+            f""""wand_qps":${queryBatch.size / wand10}%.1f,""" +
+            f""""exhaustive_qps":${queryBatch.size / exh10}%.1f,""" +
+            f""""wand_speedup":${exh10 / wand10}%.2f}"""
+        emit(partial = true)
       }
-      val build10Sec = b10.min
-      val searcher10 = new IndexSearcher(spark, s"$work/idx10-r2")
-      searcher10.searchBatch(queryBatch.take(4), 10, BM25())
-      val q10 = (1 to 2).map { _ =>
-        val (_, e) = time(searcher10.searchBatch(queryBatch, 10, BM25(), useWand = false))
-        val (_, w) = time(searcher10.searchBatch(queryBatch, 10, BM25(), useWand = true))
-        (e, w)
-      }
-      rmdir(s"$work/idx10-r2"); rmdir(corpus10); System.gc()
-      val exh10 = q10.map(_._1).min
-      val wand10 = q10.map(_._2).min
-      f""""scale10":{"docs":$scaleDocs,"build_secs":$build10Sec%.2f,""" +
-        f""""build_docs_per_sec":${scaleDocs / build10Sec}%.0f,""" +
-        f""""wand_qps":${queryBatch.size / wand10}%.1f,""" +
-        f""""exhaustive_qps":${queryBatch.size / exh10}%.1f,""" +
-        f""""wand_speedup":${exh10 / wand10}%.2f},"""
     }
 
     spark.stop()
@@ -264,18 +343,7 @@ object Bench {
     // bench runs of that experiment are poisoned by this VM's DAMON/
     // kcompactd reclaim reacting to the resident 16g bench JVM (2-3x
     // stalls); clean-state numbers + methodology are in BASELINE.md.
-    val busJson = ""
-    val extra =
-      f""""index_build":{"docs":$benchDocs,"low_cpus":$lowCpus,"low_secs":$lowSec%.2f,""" +
-        f""""low_docs_per_sec":$lowThr%.0f,"high_cpus":$cpus,"high_secs":$highSec%.2f,""" +
-        f""""high_docs_per_sec":$highThr%.0f,"scaling_efficiency":$scalingEff%.3f,""" +
-        f""""pair2_cpus":[$tinyCpus,$smallCpus],"pair2_secs":[$tinySec%.2f,$smallSec%.2f],""" +
-        f""""pair2_scaling_efficiency":$scalingEff2%.3f$busJson},""" +
-        f""""query_throughput":{"batch_queries":${queryBatch.size},"wand_qps":$wandQps%.1f,""" +
-        f""""exhaustive_qps":$exhQps%.1f,"wand_speedup":${exhSec / wandSec}%.2f}""" +
-        (if (scaleJson.isEmpty) "" else "," + scaleJson.stripSuffix(","))
-
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$extra}""")
+    emit(partial = false)
     rmdir(work)
   }
 }
