@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.index.{IndexBuilder, IndexConfig, IndexMetaIO}
 import graft.score.{BM25Exact, Similarity}
-import graft.search.{IndexSearcher, Query}
+import graft.search.{IndexSearcher, MultiIndexSearcher, Query, TermQ}
 
 /** Engine-backed entries for the driver harness: build (once, cached) a
   * real segment index over the `documents` table with the whitespace
@@ -194,6 +194,66 @@ object EngineQueries {
     rm(scratch)
     copyDir(new java.io.File(base.indexDir), scratch)
     new IndexSearcher(spark, scratch.getPath).deleteDocs(del)
+    new IndexSearcher(spark, scratch.getPath).matchingDocs(keep)
+  }
+
+  /** Cross-index top-k — the reference's MultiSearcher ranking invariant
+    * (src/test/search/MultiSearcherRankingTest.cpp: one corpus split over
+    * several physical indexes must rank exactly like the merged index)
+    * surfaced to the driver oracle: the documents table is split by doc_id
+    * parity into TWO separately-built indexes, searched through
+    * [[graft.search.MultiIndexSearcher]] (summed df, combined corpus
+    * stats, starts[] docId remap), and the offset docIds are mapped back
+    * to global doc_ids through each sub-index's docmap. The result must
+    * hash-match the SAME BM25 SQL oracle as the single-index `bm25_topk`
+    * — possible only if cross-index df/stats combination is exact. */
+  def multiIndexTopK(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame = {
+    val subs = Seq(0, 1).map { p =>
+      cachedIndex(spark, sfDir, s"mi$p-", "whitespace", payloads = false, docMap = true)(
+        _.filter(col("doc_id") % 2 === p)
+          .select(format_string("%012d", col("doc_id")).as("url"), col("text")))
+    }
+    val multi = new MultiIndexSearcher(subs)
+    val hits = multi.search(q, k, BM25Exact())
+    import spark.implicits._
+    val hitDf = hits.map(h => (h.docId,
+      BigDecimal(h.score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq.toDF("mdoc", "score")
+    // starts[]-offset docId → global doc_id via the sub-index docmaps
+    // (urls are zero-padded doc_ids); k rows join a broadcastable map
+    val dm = subs.zip(multi.starts).map { case (s, off) =>
+      spark.read.parquet(s.indexDir + "/docmap")
+        .select((col("docId") + off).as("mdoc"), col("url").cast("long").as("doc_id"))
+    }.reduce(_ union _)
+    hitDf.join(broadcast(dm), "mdoc").select(col("doc_id"), col("score"))
+  }
+
+  /** Atomic update-then-requery — the reference's core mutation,
+    * IndexWriter::updateDocument (delete-by-term + add in ONE commit,
+    * /root/reference/src/core/index/IndexWriter.cpp:941-1004), as a
+    * driver-oracled entry: on a scratch copy of the cached index, every
+    * doc containing `delTerm` is atomically replaced by a twin whose
+    * `delTerm` tokens read `replacement` (urls shifted by numDocs so new
+    * engine docIds are SQL-predictable: N + rank of the replaced doc), in
+    * one `updateDocuments` call; a FRESH searcher then returns the match
+    * set of `keep`. The scratch copy is re-made per call so the entry
+    * stays idempotent. */
+  def updateRequery(spark: SparkSession, sfDir: String, delTerm: String,
+      replacement: String, keep: Query): DataFrame = {
+    val base = searcher(spark, sfDir)
+    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-index-upd-" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+    rm(scratch)
+    copyDir(new java.io.File(base.indexDir), scratch)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = base.meta.numDocs
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val replaced = docs.filter(array_contains(toks, delTerm))
+      .select(format_string("%012d", col("doc_id") + n).as("url"),
+        array_join(transform(toks,
+          t => when(t === delTerm, lit(replacement)).otherwise(t)), " ").as("text"))
+    graft.streaming.StreamingIndexer.updateDocuments(spark, scratch.getPath,
+      TermQ(delTerm), replaced, analyzer = "whitespace")
     new IndexSearcher(spark, scratch.getPath).matchingDocs(keep)
   }
 

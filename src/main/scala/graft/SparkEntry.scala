@@ -267,6 +267,33 @@ object SparkEntry {
     "delete_requery" -> ((s, dir) =>
       EngineQueries.deleteRequery(s, dir, del = TermQ("spark"), keep = TermQ("window"))),
 
+    // cross-index search: the documents corpus split by doc_id parity into
+    // TWO separately-built indexes, searched through MultiIndexSearcher
+    // (summed df, combined stats, starts[] docId remap) — must hash-match
+    // the SAME BM25 oracle as the single-index bm25_topk (the reference's
+    // MultiSearcherRankingTest invariant, driver-checked)
+    "multi_index_topk" -> ((s, dir) =>
+      EngineQueries.multiIndexTopK(s, dir,
+        BoolQ(should = Seq(TermQ("window"), TermQ("spark"), TermQ("merge"))), 10)),
+
+    // atomic update-then-requery on a scratch copy: every doc containing
+    // 'spark' is replaced (delete + re-add with 'spark'→'replaced') in ONE
+    // updateDocuments commit; the fresh searcher's match set of
+    // window OR replaced must show deletes AND adds together — the
+    // reference's IndexWriter::updateDocument semantics through the oracle
+    "update_requery" -> ((s, dir) =>
+      EngineQueries.updateRequery(s, dir, delTerm = "spark",
+        replacement = "replaced",
+        keep = BoolQ(should = Seq(TermQ("window"), TermQ("replaced"))))),
+
+    // batch gaps-and-islands sessionization over the events table (8h gap)
+    // — the batch twin of StreamOps.sessionize (stream/batch agreement is
+    // pinned in StreamingSpec; this entry gives the session operator a
+    // DuckDB oracle)
+    "sessionize" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionizeBatch(tbl(s, dir, "events"),
+        gapUs = 8L * 3600 * 1000000)),
+
     // engine-path sort-by-field top-k (TopFieldCollector/SortField): match
     // set of 'window' ordered by a source column, bounded via
     // TakeOrderedAndProject
@@ -543,6 +570,35 @@ object SparkEntry {
       s"""$tokCte
          |SELECT DISTINCT doc_id FROM tokf WHERE term = 'window'
          |AND doc_id NOT IN (SELECT doc_id FROM tokf WHERE term = 'spark')""".stripMargin,
+
+    "multi_index_topk" ->
+      s"""${bm25Cte("'window', 'spark', 'merge'")}
+         |SELECT doc_id, round(score, 4) AS score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "update_requery" ->
+      s"""$tokCte,
+         |spark_docs AS (SELECT DISTINCT doc_id FROM tokf WHERE term = 'spark'),
+         |new_ids AS (SELECT (SELECT count(*) FROM documents)
+         |                   + row_number() OVER (ORDER BY doc_id) - 1 AS doc_id
+         |            FROM spark_docs),
+         |survivors AS (SELECT DISTINCT doc_id FROM tokf WHERE term = 'window'
+         |              AND doc_id NOT IN (SELECT doc_id FROM spark_docs))
+         |SELECT doc_id FROM survivors UNION ALL SELECT doc_id::BIGINT FROM new_ids""".stripMargin,
+
+    "sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+        |f AS (SELECT user_id, event_id, tu,
+        |        CASE WHEN lag(tu) OVER w IS NULL
+        |               OR tu - lag(tu) OVER w > 28800000000 THEN 1 ELSE 0 END AS nf
+        |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |s AS (SELECT user_id, tu,
+        |        sum(nf) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id::BIGINT AS session_id, min(tu)::BIGINT AS start_us,
+        |       max(tu)::BIGINT AS end_us, count(*)::BIGINT AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "sorted_topk" ->
       s"""$tokCte

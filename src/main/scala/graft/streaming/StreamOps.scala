@@ -129,4 +129,32 @@ object StreamOps {
           }
       }
   }
+
+  /** Batch twin of [[sessionize]] — gaps-and-islands over the columnar
+    * events table: a session boundary is any per-user gap > `gapUs`
+    * microseconds, the session id is the running sum of boundary flags,
+    * and one partial-aggregated groupBy folds each island into
+    * (start, end, count). Pure Catalyst window + agg — at 100 TB this is
+    * one shuffle on user_id (the window) feeding a co-partitioned agg; no
+    * state store, no driver-side anything. The streaming path computes
+    * the same sessions incrementally (StreamingSpec pins batch/stream
+    * agreement on closed sessions). */
+  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val prev = lag(col("tu"), 1).over(w)
+    events
+      // the events table stores TIMESTAMP_NTZ; the session timezone is
+      // pinned UTC everywhere, so the cast is the identity instant
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tu"))
+      .withColumn("nf", when(prev.isNull || col("tu") - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("nf")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("tu")).as("start_us"), max(col("tu")).as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -126,6 +126,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize batch twin agrees with the streaming path on closed sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic event set with in-batch gaps (ts off epoch 0)
+    val evs = Seq[(Long, Int)]((1, 0), (1, 5), (1, 40), (1, 43), (2, 3),
+      (2, 90), (3, 7)).map { case (u, sec) => (u, (100 + sec) * 1000L) }
+
+    val in = MemoryStream[StreamOps.Event]
+    val sessions = StreamOps.sessionize(in.toDS(), gapMs = 20000L, watermark = "1 second")
+    val q = sessions.writeStream.format("memory").queryName("sess_twin")
+      .outputMode("append").start()
+    val streamed = try {
+      in.addData(evs.map { case (u, ms) => StreamOps.Event(u, new java.sql.Timestamp(ms)) })
+      q.processAllAvailable()
+      in.addData(StreamOps.Event(99, new java.sql.Timestamp(10000 * 1000L))) // close all via watermark
+      q.processAllAvailable()
+      spark.table("sess_twin").as[StreamOps.Session].collect()
+        .filter(s => s.closed && s.userId != 99)
+        .map(s => (s.userId, s.startMs, s.endMs, s.events)).toSet
+    } finally q.stop()
+
+    // the SAME events through the batch gaps-and-islands operator
+    val batchDf = evs.zipWithIndex
+      .map { case ((u, ms), i) => (i.toLong, new java.sql.Timestamp(ms), u) }
+      .toDF("event_id", "ts", "user_id")
+    val batch = StreamOps.sessionizeBatch(batchDf, gapUs = 20000L * 1000)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, s, e, n) => (u, s / 1000, e / 1000, n.toInt) }.toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("streaming dedup: first page per fingerprint across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
