@@ -38,14 +38,18 @@ case class MinHashSignature(child: Expression, numPerms: Int)
     val n = arr.numElements()
     while (i < n) {
       val s = arr.getUTF8String(i)
-      if (s != null) {
-        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        var p = 0
-        while (p < numPerms) {
-          val h = XXH64.hashInt(p, h0)
-          if (h < sig(p)) sig(p) = h
-          p += 1
-        }
+      // a null element folds as seed-passthrough — xxhash64(null, p) skips
+      // the null child, so hashInt(p, 42) joins the min — matching the
+      // built-in composition this expression is pinned bit-identical to
+      val h0 =
+        if (s != null)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        else 42L
+      var p = 0
+      while (p < numPerms) {
+        val h = XXH64.hashInt(p, h0)
+        if (h < sig(p)) sig(p) = h
+        p += 1
       }
       i += 1
     }
@@ -66,14 +70,18 @@ case class MinHashSignature(child: Expression, numPerms: Int)
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |final int ${sig}_n = $arr.numElements();
          |for (int $i = 0; $i < ${sig}_n; $i++) {
+         |  long $h0;
          |  if (!$arr.isNullAt($i)) {
          |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
-         |    long $h0 = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
+         |    $h0 = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
          |      $s.numBytes(), 42L);
-         |    for (int $p = 0; $p < $numPerms; $p++) {
-         |      long $h = $xxh.hashInt($p, $h0);
-         |      if ($h < $sig[$p]) $sig[$p] = $h;
-         |    }
+         |  } else {
+         |    // null element = seed-passthrough, as in the built-in xxhash64 fold
+         |    $h0 = 42L;
+         |  }
+         |  for (int $p = 0; $p < $numPerms; $p++) {
+         |    long $h = $xxh.hashInt($p, $h0);
+         |    if ($h < $sig[$p]) $sig[$p] = $h;
          |  }
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData

@@ -10,6 +10,22 @@ import org.apache.spark.sql.functions._
   * hashes — uniformly distributed, no skew) and the final pair dedup. */
 object Dedup {
 
+  /** Run a pair-finding plan to completion, keep only its (small, bounded)
+    * result pinned, and release every intermediate cache. The banded
+    * operators below persist corpus-sized-but-narrow intermediates
+    * (signatures, buckets) that both the hot-bucket count and the capped
+    * join read; left cached after the call they would accrete across a
+    * long-lived session until an external clearCache(). The pair list
+    * itself is the one thing worth keeping warm (and is what repeated
+    * invocations of the same plan re-read). */
+  private def materialized(out: DataFrame,
+      intermediates: Seq[DataFrame]): DataFrame = {
+    val cached = out.cache()
+    cached.count()
+    intermediates.foreach(_.unpersist())
+    cached
+  }
+
   /** Word w-shingles of the whitespace token stream, as a distinct array
     * per doc (no shuffle). */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
@@ -79,6 +95,15 @@ object Dedup {
     * 16×4 at j=0.8 → recall 1-(1-0.8^4)^16 ≈ 0.9998. */
   def minHashPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.8,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val (out, caches) = minHashPairsPlan(docs, w, minJaccard, bands, rowsPerBand)
+    materialized(out, caches)
+  }
+
+  /** The lazy plan behind [[minHashPairs]] plus its intermediate caches —
+    * split out so plan-shape tests can inspect the pre-materialization
+    * query. */
+  private[graft] def minHashPairsPlan(docs: DataFrame, w: Int, minJaccard: Double,
+      bands: Int, rowsPerBand: Int): (DataFrame, Seq[DataFrame]) = {
     // only ids + signatures are persisted (numPerms longs per doc); the
     // earlier version cached the full shingle arrays alongside — a
     // corpus-sized cache that is exactly the memory blowup this operator
@@ -108,8 +133,9 @@ object Dedup {
     val verified = withSets.select(col("doc_a"), col("doc_b"),
       (size(array_intersect(col("sha"), col("shb"))).cast("double") /
         size(array_union(col("sha"), col("shb")))).as("jac"))
-    verified.filter(col("jac") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+    (verified.filter(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac")),
+      Seq(sigs, candSh))
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the vote sum
@@ -133,6 +159,12 @@ object Dedup {
     * band join on 16-bit chunks (any pair within distance d shares at least
     * one of 4 chunks when d ≤ 3). */
   def simHashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val (out, caches) = simHashPairsPlan(docs, maxDist)
+    materialized(out, caches)
+  }
+
+  private[graft] def simHashPairsPlan(docs: DataFrame,
+      maxDist: Int): (DataFrame, Seq[DataFrame]) = {
     val sh = simHash(docs).cache()
     val chunks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
@@ -144,9 +176,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("ha"), col("b.simhash").as("hb"))
       .distinct()
-    cands.select(col("doc_a"), col("doc_b"),
+    (cands.select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("dist"))
-      .filter(col("dist") <= maxDist)
+      .filter(col("dist") <= maxDist), Seq(sh))
   }
 
   /** Embedding-cosine near-duplicate pairs — the fifth dedup family of the
@@ -162,6 +194,12 @@ object Dedup {
   def embeddingPairs(embeddings: DataFrame, minCos: Double = 0.95,
       dim: Int = 64, bits: Int = 8, tables: Int = 8,
       maxBucket: Long = 100000L): DataFrame = {
+    val (out, caches) = embeddingPairsPlan(embeddings, minCos, dim, bits, tables, maxBucket)
+    materialized(out, caches)
+  }
+
+  private[graft] def embeddingPairsPlan(embeddings: DataFrame, minCos: Double,
+      dim: Int, bits: Int, tables: Int, maxBucket: Long): (DataFrame, Seq[DataFrame]) = {
     // ids+buckets only (3 longs × tables per vector — bounded at any
     // scale), cached because BOTH the hot-bucket count and the capped side
     // read it: uncached, the hyperplane dot products run twice per vector
@@ -183,11 +221,11 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    candIds
+    (candIds
       .join(embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
       .join(embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
       .select(col("id_a"), col("id_b"), Ann.cosine(col("ea"), col("eb")).as("cs"))
       .filter(col("cs") >= minCos)
-      .select(col("id_a"), col("id_b"), round(col("cs"), 4).as("cos_sim"))
+      .select(col("id_a"), col("id_b"), round(col("cs"), 4).as("cos_sim")), Seq(sig))
   }
 }

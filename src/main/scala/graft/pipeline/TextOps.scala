@@ -130,14 +130,28 @@ object TextOps {
     * (doc_id % evalMod == 0 plays the benchmark suite). The eval gram set
     * is small by construction (a benchmark, not the corpus), so Spark
     * broadcasts it — at 100 TB the train side stays a narrow scan plus a
-    * broadcast-hash semi-join; no corpus-sized shuffle exists. */
-  def contamination(docs: DataFrame, n: Int = 5, evalMod: Int = 50): DataFrame = {
+    * broadcast-hash semi-join; no corpus-sized shuffle exists. GUARDED:
+    * an eval side that is secretly corpus-sized (a mis-configured mod, a
+    * benchmark dump that grew) would make the "broadcast" a multi-TB
+    * ship-to-every-executor, so the gram set is counted first and above
+    * `broadcastGramLimit` the join falls back to a shuffled semi-join
+    * (logged) — slower, never fatal. */
+  def contamination(docs: DataFrame, n: Int = 5, evalMod: Int = 50,
+      broadcastGramLimit: Long = 5000000L): DataFrame = {
     val grams = docs.select(col("doc_id"),
       explode(array_distinct(wordGrams(col("text"), n))).as("gram"))
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("gram")).distinct()
     val train = grams.filter(col("doc_id") % evalMod =!= 0)
-    train.join(broadcast(evalGrams), Seq("gram"), "left_semi")
+    val evalSide =
+      if (evalGrams.count() <= broadcastGramLimit) broadcast(evalGrams)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"contamination: eval gram set exceeds $broadcastGramLimit — " +
+            "falling back to a shuffled semi-join")
+        evalGrams.hint("shuffle_merge")
+      }
+    train.join(evalSide, Seq("gram"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("overlap_grams"))
       .join(
         docs.filter(col("doc_id") % evalMod =!= 0)

@@ -96,8 +96,8 @@ class PipelineSpec extends AnyFunSuite {
     // .cache()d (doc_id, shingles, sig) — a corpus-sized persist. Only
     // InMemoryRelations over (doc_id, sig) or the candidate-restricted
     // shingle set may appear; none may carry shingles for the full corpus.
-    val plan = Dedup.minHashPairs(docs, w = 3, minJaccard = 0.8,
-      bands = 32, rowsPerBand = 4).queryExecution.optimizedPlan
+    val plan = Dedup.minHashPairsPlan(docs, w = 3, minJaccard = 0.8,
+      bands = 32, rowsPerBand = 4)._1.queryExecution.optimizedPlan
     val cached = plan.collect {
       case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
     }
@@ -119,9 +119,58 @@ class PipelineSpec extends AnyFunSuite {
     val rnd = new java.util.Random(5)
     def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
     val emb = (0 until 30).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
-    val plan = Dedup.embeddingPairs(emb, minCos = 0.95, dim = 16, bits = 6, tables = 4)
-      .queryExecution.executedPlan.toString
+    val plan = Dedup.embeddingPairsPlan(emb, minCos = 0.95, dim = 16, bits = 6,
+      tables = 4, maxBucket = 100000L)._1.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"Window found in embeddingPairs plan:\n$plan")
+  }
+
+  test("pair operators release their intermediate caches; only results stay pinned") {
+    // the r4 leak: sigs/candSh/sig caches registered per invocation and
+    // never unpersisted — a long-lived session accreted cached blocks until
+    // an external clearCache(). Now each pair operator materializes its
+    // (small) result and releases every intermediate, so the persistent-RDD
+    // registry must hold exactly the result caches afterwards.
+    spark.sharedState.cacheManager.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    Dedup.minHashPairs(docs, w = 3, minJaccard = 0.8, bands = 32, rowsPerBand = 4)
+    Dedup.embeddingPairs(
+      (0 until 30).map(i => (i.toLong,
+        Array.fill(16)(new java.util.Random(i).nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding"), minCos = 0.95, dim = 16, bits = 6, tables = 4)
+    val persisted = spark.sparkContext.getPersistentRDDs
+    assert(persisted.size <= 2, // one cached-result RDD per operator call
+      s"intermediate caches survived materialization: ${persisted.values.map(_.name)}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("lsh probe masks: Hamming ball sizes are (bits choose <= d)") {
+    assert(Ann.probeMasks(8, 0) == Seq(0L))
+    assert(Ann.probeMasks(8, 1).size == 9)   // 1 + 8
+    assert(Ann.probeMasks(8, 2).size == 37)  // 1 + 8 + 28
+    assert(Ann.probeMasks(6, 2).size == 22)  // 1 + 6 + 15
+    assert(Ann.probeMasks(8, 2).distinct.size == 37 &&
+      Ann.probeMasks(8, 2).forall(m => m >= 0 && m < 256))
+  }
+
+  test("ivf training scan is sample-bounded above maxTrain") {
+    val rnd = new java.util.Random(11)
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    // above the cap: the training plan must contain a Sample node
+    val sampled = Ann.trainingSample(emb, maxTrain = 50)
+    assert(sampled.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
+    }.nonEmpty, "expected a Sample node in the bounded training plan")
+    // below the cap: identity (no sampling noise on small corpora)
+    val full = Ann.trainingSample(emb, maxTrain = 1000)
+    assert(full.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
+    }.isEmpty)
+    // a sample-trained quantizer still produces usable centroids
+    val cs = Ann.trainIvf(emb, clusters = 4, iters = 2, maxTrain = 50)
+    assert(cs.length == 4 && cs.forall(_.length == 8))
+    assert(Ann.ivfTopK(emb, emb.filter($"vec_id" < 2), k = 3, dim = 8,
+      clusters = 4, trained = Some(cs)).count() > 0)
   }
 
   test("approximate ANN recall@k against brute force is pinned at the design point") {
@@ -203,8 +252,28 @@ class PipelineSpec extends AnyFunSuite {
       assert(sig == spec(id), s"doc $id signature diverged")
     }
     // and the whole-stage-codegen path actually compiles the expression
-    val plan = Dedup.minHashSignatures(docs).queryExecution.executedPlan.toString
-    assert(plan.contains("minhash_signature"), plan)
+    // (file-scan input: a LocalRelation would be constant-folded away by
+    // ConvertToLocalRelation and assert nothing about codegen)
+    val pd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scanBacked = Dedup.minHashSignatures(pd)
+    assert(scanBacked.queryExecution.executedPlan.toString.contains("minhash_signature"))
+    assert(scanBacked.count() == pd.count())
+
+    // null elements: the built-in fold treats a null shingle as seed-
+    // passthrough (hashInt(p, 42) joins the min); the native expression
+    // must do the same, on both eval paths
+    import org.apache.spark.sql.functions._
+    val nullArr = Seq((1L, Seq(Some("a"), None, Some("b")))).toDF("doc_id", "shingles")
+      .select(col("doc_id"), col("shingles").cast("array<string>").as("shingles"))
+    val nNative = nullArr.select(
+      graft.functions.MinHashSignature.minhashSig(col("shingles"), 16).as("sig"))
+      .as[Seq[Long]].collect()(0)
+    val nSpec = nullArr.select(
+      aggregate(col("shingles"), array_repeat(lit(Long.MaxValue), 16),
+        (acc, s) => zip_with(acc, sequence(lit(0), lit(15)),
+          (a, p) => least(a, xxhash64(s, p)))).as("sig"))
+      .as[Seq[Long]].collect()(0)
+    assert(nNative == nSpec, s"null-element fold diverged: $nNative vs $nSpec")
   }
 
   test("quality filter reports the first failed rule; source mix shares sum to 1") {

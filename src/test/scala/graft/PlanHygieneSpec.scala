@@ -39,6 +39,15 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("contamination falls back to a shuffled semi-join over the broadcast limit") {
+    // limit 0 forces the over-limit regime: the eval side must join via a
+    // shuffle (merge/shuffled-hash), never a corpus-sized broadcast
+    val p = plan(pipeline.TextOps.contamination(docs, 5, 50, broadcastGramLimit = 0L))
+    val semiLine = p.linesIterator.filter(_.contains("LeftSemi")).mkString("\n")
+    assert(semiLine.nonEmpty, p)
+    assert(!semiLine.contains("BroadcastHashJoin"), s"eval side still broadcast:\n$p")
+  }
+
   test("source_mix aggregates with partial aggregation and broadcasts the total") {
     val p = plan(pipeline.TextOps.sourceMix(docs))
     assert(p.contains("partial"), p) // map-side combine before the shuffle
