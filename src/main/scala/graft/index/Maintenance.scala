@@ -90,8 +90,12 @@ object Maintenance {
     * compaction job maps this over groups of small segments). */
   def mergeSegments(indexDir: String, segIds: Seq[Int], newSegId: Int): SegmentMeta = {
     require(segIds.nonEmpty)
+    // bound source readers by the COMMITTED delgen: a crashed uncommitted
+    // delete batch's orphan del files must not get baked into the merge
+    val committedGen = IndexMetaIO.readLatestWithExtra(indexDir)
+      .flatMap(_._2.get("delgen")).map(_.toInt).getOrElse(0)
     val readers = segIds.sorted.map(id =>
-      new SegmentReader(new File(indexDir, SegmentFormat.segDirName(id))))
+      new SegmentReader(new File(indexDir, SegmentFormat.segDirName(id)), committedGen))
     // verify adjacency
     readers.sliding(2).foreach {
       case Seq(a, b) =>
@@ -162,8 +166,11 @@ object Maintenance {
     }
     val meta = writer.finish()
     if (!carried.isEmpty)
+      // the merged segment's carried bitset belongs to the CURRENT delete
+      // generation (compaction does not bump delgen, it carries it), so
+      // readers bounded by the committed delgen select it
       SegmentFormat.writeDeletes(
-        new File(indexDir, SegmentFormat.segDirName(newSegId)), carried)
+        new File(indexDir, SegmentFormat.segDirName(newSegId)), carried, committedGen)
 
     // retire the merged inputs AFTER the new segment is published, then
     // snapshot (readers only ever see snapshotted sets)

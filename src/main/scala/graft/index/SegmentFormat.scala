@@ -35,26 +35,68 @@ final case class TermInfo(term: String, df: Int, maxFreq: Int, minDlByte: Byte,
 
 object SegmentFormat {
 
-  /** Atomically publish a segment's deletion bitset (write-tmp + rename —
-    * same discipline as every other segment file). */
-  def writeDeletes(segDir: java.io.File, bits: java.util.BitSet): Unit = {
-    val tmp = new java.io.File(segDir, "del.bin.tmp")
+  /** Atomically publish a segment's deletion bitset for generation `gen`
+    * (write-tmp + rename — same discipline as every other segment file).
+    *
+    * Del files are GENERATIONAL: `del_<gen>.bin`, where `gen` is the
+    * delete generation the NEXT commit will record in its `delgen` extra.
+    * Readers select the newest generation ≤ their commit snapshot's
+    * delgen, so a bitset written ahead of its commit (updateDocuments'
+    * delete half) is invisible to every concurrently opened reader until
+    * the commit that references it lands — the reference's
+    * commit-referenced `_N.del` files
+    * (/root/reference/src/core/index/SegmentInfos.cpp, SegmentInfo
+    * delGen → getDelFileName). A crashed update leaves only orphan files
+    * no commit points at; a retry recomputes the same generation and
+    * atomically replaces them. Superseded generations are tiny bitsets
+    * and are retained for point-in-time readers until their segment is
+    * retired by a merge. */
+  def writeDeletes(segDir: java.io.File, bits: java.util.BitSet, gen: Int): Unit = {
+    val name = delFileName(gen)
+    val tmp = new java.io.File(segDir, name + ".tmp")
     java.nio.file.Files.write(tmp.toPath, bits.toByteArray)
-    java.nio.file.Files.move(tmp.toPath, new java.io.File(segDir, "del.bin").toPath,
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(segDir, name).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** The segment's CURRENT on-disk deletion bitset (empty when none).
-    * Delete accumulation must seed from this, not from a cached reader's
-    * open-time snapshot: a second delete batch through the same searcher
-    * would otherwise OR into a stale bitset and overwrite (lose) the first
-    * batch's committed tombstones on write. */
-  def readDeletes(segDir: java.io.File): java.util.BitSet = {
-    val f = new java.io.File(segDir, "del.bin")
-    if (!f.exists()) new java.util.BitSet()
-    else java.util.BitSet.valueOf(java.nio.file.Files.readAllBytes(f.toPath))
+  def delFileName(gen: Int): String = s"del_$gen.bin"
+
+  /** The newest deletion file with generation ≤ `genBound`, or the
+    * un-suffixed legacy `del.bin` (pre-generational indexes) when no
+    * suffixed file qualifies. None = segment has no committed deletes at
+    * this bound. */
+  private[graft] def latestDelFile(segDir: java.io.File, genBound: Int): Option[java.io.File] = {
+    val names = segDir.list()
+    var best = -1
+    if (names != null) names.foreach { n =>
+      if (n.startsWith("del_") && n.endsWith(".bin")) {
+        val g =
+          try n.substring(4, n.length - 4).toInt
+          catch { case _: NumberFormatException => -1 }
+        if (g > best && g <= genBound) best = g
+      }
+    }
+    if (best >= 0) Some(new java.io.File(segDir, delFileName(best)))
+    else {
+      val legacy = new java.io.File(segDir, "del.bin")
+      if (legacy.exists()) Some(legacy) else None
+    }
   }
+
+  /** The segment's deletion bitset as of committed generation `genBound`
+    * (empty when none). Delete accumulation must seed from this, not from
+    * a cached reader's open-time snapshot: a second delete batch through
+    * the same searcher would otherwise OR into a stale bitset and
+    * overwrite (lose) the first batch's committed tombstones on write.
+    * Bounding by the COMMITTED generation also keeps a crashed
+    * uncommitted batch's orphan bitset out of the seed. */
+  def readDeletes(segDir: java.io.File, genBound: Int): java.util.BitSet =
+    latestDelFile(segDir, genBound) match {
+      case Some(f) =>
+        java.util.BitSet.valueOf(java.nio.file.Files.readAllBytes(f.toPath))
+      case None => new java.util.BitSet()
+    }
 
   /** Postings per block; also the term-index sampling interval
     * (SURVEY.md §7.3; reference term-index interval 128 —
@@ -401,7 +443,7 @@ final class SegmentWriter(
   * is decoded to memory for binary search, the term dict itself is scanned
   * sequentially from the nearest sample (TermInfosReader pattern,
   * /root/reference/src/core/index/TermInfosReader.cpp:113-160). */
-final class SegmentReader(val dir: File) {
+final class SegmentReader(val dir: File, delGenBound: Int = Int.MaxValue) {
   import SegmentFormat._
 
   val meta: SegmentMeta = IndexMetaIO.decodeSegment(Files.readAllBytes(new File(dir, "meta.bin").toPath))
@@ -413,12 +455,16 @@ final class SegmentReader(val dir: File) {
   // deletion sidecar — the reference's .del BitVector
   // (/root/reference/src/core/util/BitVector.cpp, SegmentReader loads it at
   // open): docIds stay STABLE (url ranks); deleted docs are tombstoned out
-  // of every result and their postings reclaimed at the next merge
-  private val delBits: java.util.BitSet = {
-    val f = new File(dir, "del.bin")
-    if (!f.exists()) null
-    else java.util.BitSet.valueOf(Files.readAllBytes(f.toPath))
-  }
+  // of every result and their postings reclaimed at the next merge.
+  // `delGenBound` pins the reader to its commit snapshot's delete
+  // generation (IndexSearcher passes the committed delgen); the default
+  // MaxValue — newest file wins — serves single-writer local tools and
+  // tests that bypass commits.
+  private val delBits: java.util.BitSet =
+    latestDelFile(dir, delGenBound) match {
+      case Some(f) => java.util.BitSet.valueOf(Files.readAllBytes(f.toPath))
+      case None => null
+    }
   val hasDeletions: Boolean = delBits != null && !delBits.isEmpty
   @inline def deleted(localDoc: Int): Boolean = hasDeletions && delBits.get(localDoc)
   def delCount: Int = if (delBits == null) 0 else delBits.cardinality()

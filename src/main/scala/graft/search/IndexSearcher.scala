@@ -23,17 +23,23 @@ object ReaderCache {
             e: java.util.Map.Entry[String, SegmentReader]): Boolean =
           size() > MaxReaders
       })
-  /** `segDir` may carry a cache-busting `#<delGen>` suffix: the filesystem
-    * path is everything before '#', the full string is the cache key — a
-    * delete batch bumps the generation so every executor re-opens the
-    * segment and sees the new del bitset (the reference's reopen-to-see-
-    * deletes semantics). */
+  /** `segDir` may carry a `#<delGen>` suffix: the filesystem path is
+    * everything before '#', the full string is the cache key — a delete
+    * batch bumps the generation so every executor re-opens the segment and
+    * sees the new del bitset (the reference's reopen-to-see-deletes
+    * semantics). The generation is also the reader's del-file BOUND: the
+    * reader loads the newest `del_<g>.bin` with g ≤ delGen, so a bitset
+    * written ahead of its commit (updateDocuments) stays invisible until
+    * the commit that references its generation lands. No suffix = snapshot
+    * at generation 0 (no committed deletes). */
   def get(segDir: String): SegmentReader = {
     val hit = cache.get(segDir)
     if (hit != null) hit
     else {
-      val path = { val h = segDir.indexOf('#'); if (h < 0) segDir else segDir.substring(0, h) }
-      val r = new SegmentReader(new File(path))
+      val h = segDir.indexOf('#')
+      val path = if (h < 0) segDir else segDir.substring(0, h)
+      val bound = if (h < 0) 0 else segDir.substring(h + 1).toInt
+      val r = new SegmentReader(new File(path), bound)
       cache.put(segDir, r)
       r
     }
@@ -287,17 +293,26 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
     val bcDf = sc.broadcast(dfMap)
     val bcQ = sc.broadcast(q)
     val st = stats
+    // the CURRENT committed generation (not this searcher's open-time
+    // snapshot — a second batch through the same instance must seed from
+    // the first batch's committed bitsets), and the generation the new
+    // bitsets will be committed under: files are written as
+    // del_<targetGen>.bin and stay invisible to every reader until the
+    // commit recording delgen=targetGen lands (crash ⇒ ignored orphans)
+    val (commitMeta, commitExtra) = IndexMetaIO.readLatestWithExtra(indexDir).get
+    val committedGen = commitExtra.get("delgen").map(_.toInt).getOrElse(0)
+    val targetGen = committedGen + 1
     val newly = sc.parallelize(segDirs, math.max(1, segDirs.size))
       .map { dir =>
         val reader = ReaderCache.get(dir)
         val df = (t: String) => bcDf.value.getOrElse(t, 0L)
         val sim: Similarity = graft.score.BM25()
-        // seed from the CURRENT on-disk bitset, NOT the cached reader's
+        // seed from the CURRENT COMMITTED bitset, NOT the cached reader's
         // open-time snapshot: this searcher's reader-cache key is pinned to
         // its open-time delGen, so a second delete batch through the same
         // searcher instance would otherwise OR into a pre-first-batch bitset
         // and silently resurrect the first batch's committed tombstones
-        val bits = SegmentFormat.readDeletes(reader.dir)
+        val bits = SegmentFormat.readDeletes(reader.dir, committedGen)
         val before = bits.cardinality()
         val qn = sim.queryNorm(SegmentSearch.sumOfSquaredWeights(bcQ.value, sim, st, df))
         SegmentSearch.scorer(bcQ.value, reader, sim, st, df, qn).foreach { s =>
@@ -305,17 +320,17 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
           while (d != Scorer.NoMoreDocs) { bits.set(d); d = s.nextDoc() }
         }
         val added = bits.cardinality() - before
-        if (added > 0) SegmentFormat.writeDeletes(reader.dir, bits)
+        if (added > 0) SegmentFormat.writeDeletes(reader.dir, bits, targetGen)
         added.toLong
       }
       .collect().sum
     bcQ.destroy()
     bcDf.destroy()
     if (newly > 0 && commit) {
-      // bump the deletion generation in a fresh snapshot (meta unchanged)
-      val (m, extra) = IndexMetaIO.readLatestWithExtra(indexDir).get
-      val gen = extra.get("delgen").map(_.toInt).getOrElse(0) + 1
-      IndexMetaIO.writeCommit(indexDir, m, extra + ("delgen" -> gen.toString))
+      // publish: a fresh snapshot (meta unchanged) whose delgen references
+      // the just-written generation — readers flip atomically to it
+      IndexMetaIO.writeCommit(indexDir, commitMeta,
+        commitExtra + ("delgen" -> targetGen.toString))
     }
     newly
   }

@@ -93,8 +93,13 @@ object StreamingIndexer {
     * (/root/reference/src/core/index/IndexWriter.cpp:941-1004). The new
     * docs are never candidates for the delete (tombstones are computed
     * against the prior snapshot's segments only), and a reader reopening
-    * between the old and new commit sees either the old index or the full
-    * update, never the adds without the deletes. */
+    * at ANY point sees either the old index or the full update, never the
+    * deletes without the adds or vice versa: the delete half writes
+    * generational `del_<gen>.bin` files that no reader selects until the
+    * single commit recording both the new segments and delgen=gen lands
+    * (the reference's commit-referenced generational .del files); a crash
+    * between the two steps leaves only orphan files the retry atomically
+    * replaces. */
   def updateDocuments(spark: SparkSession, indexDir: String,
       deleteQ: graft.search.Query, newDocs: DataFrame,
       analyzer: String = "standard", docsPerSegment: Int = 1 << 20,

@@ -43,8 +43,10 @@ class DeleteFuzzSpec extends AnyFunSuite {
           if (d >= m.docBase && d < m.docBase + m.docCount)
             bits.set((d - m.docBase).toInt)
         }
+        // gen = round: direct readers (default bound) pick the newest
+        // generation, so each round's fresh set supersedes the last
         SegmentFormat.writeDeletes(
-          new java.io.File(dir, SegmentFormat.segDirName(m.segId)), bits)
+          new java.io.File(dir, SegmentFormat.segDirName(m.segId)), bits, round)
       }
 
       for (run <- 0 until 50) {

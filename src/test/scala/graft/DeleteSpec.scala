@@ -191,4 +191,32 @@ class DeleteSpec extends AnyFunSuite {
     assert(s2.matchingDocs(TermQ("gamma")).count() == 0)
     assert(s2.liveDocCount() == 2)
   }
+
+  test("uncommitted delete generations are invisible until their commit lands") {
+    val texts = Seq("doomed x", "stay x", "doomed y", "stay y")
+    val dir = buildIndex(texts)
+    ReaderCache.clear()
+
+    // the delete half of an update WITHOUT its commit — the on-disk state a
+    // crash mid-updateDocuments leaves behind (generational del_1.bin files
+    // exist, but the committed snapshot still says delgen=0)
+    val s1 = new IndexSearcher(spark, dir)
+    assert(s1.deleteDocs(TermQ("doomed"), commit = false) == 2)
+
+    // a fresh searcher opens the committed snapshot: the orphan generation
+    // must NOT be selected (reference commit-referenced .del semantics)
+    ReaderCache.clear()
+    val mid = new IndexSearcher(spark, dir)
+    assert(mid.search(TermQ("doomed"), 10, BM25()).length == 2)
+    assert(mid.liveDocCount() == 4)
+
+    // the retry seeds from the committed (empty) bitset, recomputes the
+    // same generation, atomically replaces the orphans, and commits:
+    // visibility flips only with the commit
+    assert(new IndexSearcher(spark, dir).deleteDocs(TermQ("doomed")) == 2)
+    ReaderCache.clear()
+    val after = new IndexSearcher(spark, dir)
+    assert(after.search(TermQ("doomed"), 10, BM25()).isEmpty)
+    assert(after.liveDocCount() == 2)
+  }
 }
