@@ -19,7 +19,9 @@ import graft.search.{BoolQ, IndexSearcher, Query, TermQ}
   *  2. BM25 top-10 query throughput over the built index (block-max WAND
   *     vs exhaustive);
   *  3. the SparkEntry query battery on SPARK_GRAFT_SF_DIR;
-  *  4. a 10× scale leg (same recipes at sf1-style corpus size).
+  *  4. the same WAND query battery at cpus/4 vs cpus (query-side scaling
+  *     pair — secondary north-rule evidence);
+  *  5. a 10× scale leg (same recipes at sf1-style corpus size).
   *
   * Emission strategy (the round-4 failure mode was an all-or-nothing
   * artifact: the driver's 60-minute budget killed the run and every
@@ -199,7 +201,7 @@ object Bench {
     // ~9x from 4k-doc to 480k-doc segments (skip table + amortized
     // per-segment weights — see BASELINE.md segment-size note), so the
     // 4k-doc build-bench segments would understate query throughput badly.
-    val spark = newSession(cpus)
+    var spark = newSession(cpus)
     locally {
       IndexBuilder.build(spark, spark.read.parquet(corpusPath),
         IndexConfig(s"$work/idx-query", docsPerSegment = 15000,
@@ -271,6 +273,33 @@ object Bench {
     batteryTotal = results.map(_._2).sum
     sections("battery_rounds") = s""""battery_rounds":${batteryRounds.size}"""
     emit(partial = true)
+
+    // ---- query-throughput scaling pair (secondary north-rule evidence:
+    // the build pair above is the gated criterion; this REPORTS that the
+    // query side also scales with parallelism): the same 4096-query WAND
+    // battery over the same on-disk idx-query index at cpus/4 vs cpus.
+    // Search tasks are per-segment and share nothing but the driver merge,
+    // so the pair exposes any hidden driver-side serialization. Same
+    // single-box caveat as the build pair: all threads share one memory
+    // bus, so the in-JVM ratio under-credits a real 4x-executor cluster.
+    if (remaining > 0.15 * budgetSecs) {
+      spark.stop()
+      val sLow = newSession(lowCpus)
+      val searcherLow = new IndexSearcher(sLow, s"$work/idx-query")
+      searcherLow.searchBatch(queryBatch.take(4), 10, BM25())
+      val wandLowSec = (1 to 3).map { _ =>
+        time(searcherLow.searchBatch(queryBatch, 10, BM25(), useWand = true))._2
+      }.min
+      sLow.stop()
+      val lowQps = queryBatch.size / wandLowSec
+      val qEff = (wandQps / lowQps) / (cpus.toDouble / lowCpus)
+      sections("query_scaling") =
+        f""""query_scaling":{"low_cpus":$lowCpus,"low_wand_qps":$lowQps%.1f,""" +
+          f""""high_cpus":$cpus,"high_wand_qps":$wandQps%.1f,""" +
+          f""""scaling_efficiency":$qEff%.3f}"""
+      emit(partial = true)
+      spark = newSession(cpus) // the scale-10 leg below reuses a full-width session
+    }
 
     // ---- 10x scale leg: the same build + query recipes at 4.8M docs
     // (sf1-style), in the already-warm session. The point is evidence OFF
