@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// log4j2.properties quiets the Bench/Verify/Demo mains on the run
+// classpath, but must NOT ship inside the library jar: log4j2 loads the
+// first config on the classpath, so a bundled one would silently override
+// every downstream consumer's logging setup.
+Compile / packageBin / mappings ~= (_.filterNot(_._2 == "log4j2.properties"))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -83,11 +83,40 @@ object Bench {
   private var batteryTotal = -1.0
   private var sfDirForJson = ""
 
+  /** /proc/stat `cpu` jiffies at Bench start (user nice system idle iowait
+    * irq softirq steal...), or null off-Linux. Each emit reports the
+    * accumulated system-time and hypervisor-steal shares since start, so
+    * the artifact itself records whether the box was healthy: a degraded
+    * run (this VM's documented reclaim episodes, or host-side throttling)
+    * shows up as sys% / steal% far above the clean-run baseline (~10% /
+    * ~0%), and absolute throughput numbers can be discounted accordingly
+    * without any out-of-band observation. */
+  private val cpuJiffies0: Array[Long] = readCpuJiffies()
+  private def readCpuJiffies(): Array[Long] =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      line.trim.split("\\s+").drop(1).map(_.toLong)
+    } catch { case _: Exception => null }
+
+  private def hostHealthJson(): String = {
+    if (cpuJiffies0 == null) return ""
+    val now = readCpuJiffies()
+    if (now == null || now.length < 8 || cpuJiffies0.length < 8) return ""
+    val d = now.zip(cpuJiffies0).map { case (a, b) => a - b }
+    val total = d.sum.toDouble
+    if (total <= 0) return ""
+    f""","host":{"sys_pct":${100.0 * d(2) / total}%.1f,""" +
+      f""""steal_pct":${100.0 * d(7) / total}%.1f,""" +
+      f""""idle_pct":${100.0 * d(3) / total}%.1f}"""
+  }
+
   private def emit(partial: Boolean): Unit = {
     val extra = if (sections.isEmpty) "" else "," + sections.values.mkString(",")
     val tag = if (partial) ""","partial":true""" else ""
     println(f"""{"metric":"total","value":$batteryTotal,"unit":"sec","queries":$batteryJson,""" +
-      f""""sf":"$sfDirForJson","elapsed_secs":$elapsed%.1f,"budget_secs":$budgetSecs%.0f$extra$tag}""")
+      f""""sf":"$sfDirForJson","elapsed_secs":$elapsed%.1f,"budget_secs":$budgetSecs%.0f""" +
+      hostHealthJson() + s"$extra$tag}")
     System.out.flush()
   }
 
@@ -321,13 +350,17 @@ object Bench {
     // emitted, so even a mis-estimate can only cost this one section.
     val scale10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") == "1"
     if (scale10) {
-      var scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "4800000").toLong
-      val perRoundEst = highSec * (scaleDocs.toDouble / benchDocs) // measured-1x scaled
+      val scaleDocs0 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "4800000").toLong
+      var scaleDocs = scaleDocs0
+      val perRoundEst = highSec * (scaleDocs0.toDouble / benchDocs) // measured-1x scaled
       val genQueryEst = 60.0 + 4.0 * (exhSec + wandSec) // corpus gen + 2 query rounds
       var buildRounds = 2
       if (remaining < 2.5 * (2 * perRoundEst + genQueryEst)) buildRounds = 1
       if (remaining < 2.5 * (perRoundEst + genQueryEst)) { scaleDocs /= 2; }
-      val floorEst = 2.0 * (perRoundEst * scaleDocs / 4800000.0 + genQueryEst)
+      // re-scale the per-round estimate by the (possibly halved) doc count
+      // relative to the ORIGINAL it was computed from — not a hardcoded
+      // default, which would mis-estimate under SPARK_GRAFT_SCALE_DOCS
+      val floorEst = 2.0 * (perRoundEst * scaleDocs.toDouble / scaleDocs0 + genQueryEst)
       if (remaining < floorEst) {
         sections("scale10") = f""""scale10":{"skipped":true,"reason":"budget",""" +
           f""""remaining_secs":$remaining%.0f,"floor_estimate_secs":$floorEst%.0f}"""

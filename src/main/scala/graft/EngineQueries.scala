@@ -62,8 +62,14 @@ object EngineQueries {
         if (committed.isEmpty) {
           if (new java.io.File(dir).exists()) rm(new java.io.File(dir))
           val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-          val perSeg = expectedPerSeg(docs.count())
-          IndexBuilder.build(spark, corpusOf(docs),
+          // size segments from the corpus actually indexed: corpusOf may
+          // filter (the mi parity split halves it), and the staleness
+          // check above validates against the FILTERED numDocs — sizing
+          // from the unfiltered count would build a layout the next JVM
+          // always judges stale and rebuilds
+          val corpus = corpusOf(docs)
+          val perSeg = expectedPerSeg(corpus.count())
+          IndexBuilder.build(spark, corpus,
             IndexConfig(dir, analyzer = analyzer, docsPerSegment = perSeg,
               storePositions = true, writeDocMap = docMap, storePayloads = payloads))
         }
@@ -205,8 +211,11 @@ object EngineQueries {
     * [[graft.search.MultiIndexSearcher]] (summed df, combined corpus
     * stats, starts[] docId remap), and the offset docIds are mapped back
     * to global doc_ids through each sub-index's docmap. The result must
-    * hash-match the SAME BM25 SQL oracle as the single-index `bm25_topk`
-    * — possible only if cross-index df/stats combination is exact. */
+    * hash-match the same BM25 score CTE as the single-index `bm25_topk`
+    * — possible only if cross-index df/stats combination is exact. (The
+    * oracle's tie-break clause is `doc_id % 2, doc_id` — the merged-docId
+    * order of the reference's docBase-offset MultiSearcher merge — so an
+    * exact score tie at the k boundary selects identically.) */
   def multiIndexTopK(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame = {
     val subs = Seq(0, 1).map { p =>
       cachedIndex(spark, sfDir, s"mi$p-", "whitespace", payloads = false, docMap = true)(

@@ -573,10 +573,15 @@ object SparkEntry {
          |SELECT DISTINCT doc_id FROM tokf WHERE term = 'window'
          |AND doc_id NOT IN (SELECT doc_id FROM tokf WHERE term = 'spark')""".stripMargin,
 
+    // tie-break models the engine's MERGED-docId order (the reference's
+    // MultiSearcher docBase-offset merge): sub-index 0 = even doc_ids
+    // comes first, then local (= doc_id) order — so an exact score tie at
+    // the k boundary selects the same docs as MultiIndexSearcher's
+    // (score desc, merged docId asc) heap
     "multi_index_topk" ->
       s"""${bm25Cte("'window', 'spark', 'merge'")}
          |SELECT doc_id, round(score, 4) AS score FROM sc
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+         |ORDER BY score DESC, doc_id % 2, doc_id LIMIT 10""".stripMargin,
 
     "update_requery" ->
       s"""$tokCte,

@@ -47,10 +47,12 @@ object SegmentFormat {
     * commit-referenced `_N.del` files
     * (/root/reference/src/core/index/SegmentInfos.cpp, SegmentInfo
     * delGen → getDelFileName). A crashed update leaves only orphan files
-    * no commit points at; a retry recomputes the same generation and
-    * atomically replaces them. Superseded generations are tiny bitsets
-    * and are retained for point-in-time readers until their segment is
-    * retired by a merge. */
+    * no commit points at; the next delete batch purges them
+    * ([[purgeOrphanDeletes]]) before writing its own generation, so a
+    * later commit at the same generation number can never retroactively
+    * adopt a crashed batch's bitsets in segments the new batch did not
+    * touch. Superseded generations are tiny bitsets and are retained for
+    * point-in-time readers until their segment is retired by a merge. */
   def writeDeletes(segDir: java.io.File, bits: java.util.BitSet, gen: Int): Unit = {
     val name = delFileName(gen)
     val tmp = new java.io.File(segDir, name + ".tmp")
@@ -61,6 +63,28 @@ object SegmentFormat {
   }
 
   def delFileName(gen: Int): String = s"del_$gen.bin"
+
+  /** Remove deletion files with generation > `committedGen` (and stray
+    * `.tmp` leftovers) — orphans of a batch that crashed before its commit
+    * landed. Every delete batch runs this across ALL of the current
+    * commit's segments before writing its own generation: without the
+    * purge, a later unrelated batch committing the same generation number
+    * would make a crashed update's deletes visible in segments it never
+    * touched (deletes without the update's adds — silent data loss). */
+  def purgeOrphanDeletes(segDir: java.io.File, committedGen: Int): Unit = {
+    val names = segDir.list()
+    if (names != null) names.foreach { n =>
+      if (n.startsWith("del_")) {
+        if (n.endsWith(".bin.tmp")) new java.io.File(segDir, n).delete()
+        else if (n.endsWith(".bin")) {
+          val g =
+            try n.substring(4, n.length - 4).toInt
+            catch { case _: NumberFormatException => -1 }
+          if (g > committedGen) new java.io.File(segDir, n).delete()
+        }
+      }
+    }
+  }
 
   /** The newest deletion file with generation ≤ `genBound`, or the
     * un-suffixed legacy `del.bin` (pre-generational indexes) when no

@@ -133,9 +133,12 @@ object TextOps {
     * broadcast-hash semi-join; no corpus-sized shuffle exists. GUARDED:
     * an eval side that is secretly corpus-sized (a mis-configured mod, a
     * benchmark dump that grew) would make the "broadcast" a multi-TB
-    * ship-to-every-executor, so the gram set is counted first and above
-    * `broadcastGramLimit` the join falls back to a shuffled semi-join
-    * (logged) — slower, never fatal. */
+    * ship-to-every-executor, so the gram set is size-bounded first (a
+    * narrow per-doc-count scan — NOT a second explode+distinct shuffle)
+    * and above `broadcastGramLimit` the join falls back to a shuffled
+    * semi-join (logged) — slower, never fatal. The bound over-counts
+    * cross-doc repeats, so it can only fall back too early, never
+    * broadcast too much. */
   def contamination(docs: DataFrame, n: Int = 5, evalMod: Int = 50,
       broadcastGramLimit: Long = 5000000L): DataFrame = {
     val grams = docs.select(col("doc_id"),
@@ -143,8 +146,14 @@ object TextOps {
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("gram")).distinct()
     val train = grams.filter(col("doc_id") % evalMod =!= 0)
+    // upper bound on |evalGrams| without executing the explode+distinct
+    // pipeline twice: sum of per-doc distinct gram counts, one narrow scan
+    val evalGramBound = docs.filter(col("doc_id") % evalMod === 0)
+      .agg(coalesce(sum(size(array_distinct(wordGrams(col("text"), n))).cast("long")),
+        lit(0L)))
+      .first().getLong(0)
     val evalSide =
-      if (evalGrams.count() <= broadcastGramLimit) broadcast(evalGrams)
+      if (evalGramBound <= broadcastGramLimit) broadcast(evalGrams)
       else {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"contamination: eval gram set exceeds $broadcastGramLimit — " +

@@ -302,6 +302,20 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Ser
     val (commitMeta, commitExtra) = IndexMetaIO.readLatestWithExtra(indexDir).get
     val committedGen = commitExtra.get("delgen").map(_.toInt).getOrElse(0)
     val targetGen = committedGen + 1
+    // Purge orphan generations (> committedGen) left by a batch that
+    // crashed pre-commit, across the CURRENT commit's segments — a
+    // superset of anywhere orphans can live, and deliberately not just
+    // this searcher's (possibly stale) snapshot. Without this, committing
+    // delgen=targetGen below would retroactively adopt a crashed
+    // updateDocuments' del_<targetGen>.bin in segments this batch didn't
+    // write: its deletes would apply without its adds.
+    locally {
+      val idxDir = indexDir
+      val allSegs = commitMeta.segments
+        .map(m => new File(idxDir, SegmentFormat.segDirName(m.segId)).getPath)
+      sc.parallelize(allSegs, math.max(1, allSegs.size))
+        .foreach(p => SegmentFormat.purgeOrphanDeletes(new File(p), committedGen))
+    }
     val newly = sc.parallelize(segDirs, math.max(1, segDirs.size))
       .map { dir =>
         val reader = ReaderCache.get(dir)

@@ -219,4 +219,29 @@ class DeleteSpec extends AnyFunSuite {
     assert(after.search(TermQ("doomed"), 10, BM25()).isEmpty)
     assert(after.liveDocCount() == 2)
   }
+
+  test("a later unrelated delete batch does not adopt a crashed batch's orphan bitsets") {
+    // docsPerSegment=4: docs 0-3 -> segment 0 (two 'alpha'), docs 4-7 ->
+    // segment 1 (two 'omega')
+    val texts = Seq("alpha a", "filler b", "alpha c", "filler d",
+      "omega e", "filler f", "omega g", "filler h")
+    val dir = buildIndex(texts)
+    ReaderCache.clear()
+
+    // crashed update: its delete half wrote del_1.bin into segment 0, the
+    // commit (and the adds) never landed
+    val s1 = new IndexSearcher(spark, dir)
+    assert(s1.deleteDocs(TermQ("alpha"), commit = false) == 2)
+
+    // a later UNRELATED delete batch commits the same generation number,
+    // touching only segment 1 — it must purge the orphan first, or the
+    // commit at delgen=1 would make the crashed batch's deletes visible in
+    // segment 0 (deletes without the update's adds)
+    assert(new IndexSearcher(spark, dir).deleteDocs(TermQ("omega")) == 2)
+    ReaderCache.clear()
+    val after = new IndexSearcher(spark, dir)
+    assert(after.search(TermQ("alpha"), 10, BM25()).length == 2)
+    assert(after.search(TermQ("omega"), 10, BM25()).isEmpty)
+    assert(after.liveDocCount() == 6)
+  }
 }
