@@ -128,6 +128,10 @@ object Bench {
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "480000").toLong
     val benchAvgLen = sys.env.getOrElse("SPARK_GRAFT_BENCH_AVGLEN", "400").toInt
     budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "2400").toDouble
+    // heartbeat: one parseable line exists from second zero — a timeout
+    // that lands inside the first (longest) section still leaves an
+    // artifact carrying elapsed time + host health instead of nothing
+    emit(partial = true)
     // leftover tmpfs state from earlier (possibly crashed) runs is RAM:
     // accumulated shuffle/bench dirs raise memory pressure enough to wake
     // this box's proactive-reclaim daemons, which then stall later timings
@@ -187,10 +191,23 @@ object Bench {
     // alternating levels and taking each level's best cancels ordering
     // bias (methodology noted in BASELINE.md). Rounds stop early — never
     // below 2 — when the remaining budget is needed by later sections.
+    // Per-round progress emissions: the build pairs are the longest
+    // uninterrupted stretch of the run (~8 min clean, unbounded under a
+    // reclaim episode), so each completed round updates a provisional
+    // fragment — a kill mid-pair preserves the rounds that finished. The
+    // final index_build section replaces the provisional one.
+    def emitBuildProgress(pair: Int, rs: Seq[(Double, Double)]): Unit = {
+      sections("index_build_progress") =
+        f""""index_build_progress":{"pair":$pair,"rounds":${rs.size},""" +
+          f""""low_secs_min":${rs.map(_._1).min}%.2f,""" +
+          f""""high_secs_min":${rs.map(_._2).min}%.2f}"""
+      emit(partial = true)
+    }
     val rounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     var r = 1
     while (r <= 4 && (r <= 2 || remaining > 0.72 * budgetSecs)) {
       rounds += ((buildOnce(lowCpus, s"$work/idx-low-r$r"), buildOnce(cpus, s"$work/idx-high-r$r")))
+      emitBuildProgress(1, rounds.toSeq)
       r += 1
     }
     val lowSec = rounds.map(_._1).min
@@ -209,6 +226,7 @@ object Bench {
     r = 1
     while (r <= 6 && (r <= 2 || remaining > 0.5 * budgetSecs)) {
       rounds2 += ((buildOnce(tinyCpus, s"$work/idx-tiny-r$r"), buildOnce(smallCpus, s"$work/idx-small-r$r")))
+      emitBuildProgress(2, rounds2.toSeq)
       r += 1
     }
     val tinySec = rounds2.map(_._1).min
@@ -216,6 +234,7 @@ object Bench {
     val scalingEff2 = ((benchDocs / smallSec) / (benchDocs / tinySec)) /
       (smallCpus.toDouble / tinyCpus)
 
+    sections.remove("index_build_progress")
     sections("index_build") =
       f""""index_build":{"docs":$benchDocs,"low_cpus":$lowCpus,"low_secs":$lowSec%.2f,""" +
         f""""low_docs_per_sec":$lowThr%.0f,"high_cpus":$cpus,"high_secs":$highSec%.2f,""" +

@@ -138,6 +138,12 @@ object IndexMetaIO {
     if (gens.isEmpty) None else Some(gens.max)
   }
 
+  /** All commit generations on disk, ascending — the reference's
+    * IndexReader::listCommits (each generation is an openable point-in-time
+    * snapshot until a compaction retires segments it references). */
+  def commitGens(indexDir: String): Seq[Int] =
+    listCommitGens(new File(indexDir, "commits")).sorted
+
   private def listCommitGens(commitsDir: File): Seq[Int] = {
     val fs = Option(commitsDir.listFiles()).getOrElse(Array.empty)
     fs.toSeq.map(_.getName).collect {

@@ -94,8 +94,13 @@ object Maintenance {
     // delete batch's orphan del files must not get baked into the merge
     val committedGen = IndexMetaIO.readLatestWithExtra(indexDir)
       .flatMap(_._2.get("delgen")).map(_.toInt).getOrElse(0)
-    val readers = segIds.sorted.map(id =>
-      new SegmentReader(new File(indexDir, SegmentFormat.segDirName(id)), committedGen))
+    // order inputs by DOC BASE, not segId: merged segments take fresh
+    // (higher) ids, so after a partial compaction id order and doc order
+    // diverge — e.g. leftover segId 9 at docBase 90 vs merged segId 10 at
+    // docBase 0 — and sorting by id would fail the adjacency check
+    val readers = segIds.map(id =>
+        new SegmentReader(new File(indexDir, SegmentFormat.segDirName(id)), committedGen))
+      .sortBy(_.meta.docBase)
     // verify adjacency
     readers.sliding(2).foreach {
       case Seq(a, b) =>
@@ -180,29 +185,59 @@ object Maintenance {
   /** Compact all segments smaller than `minDocs` into their neighbors
     * (greedy adjacent grouping — the LogMergePolicy level idea simplified),
     * then write a new snapshot without the retired inputs. */
-  def compact(spark: SparkSession, indexDir: String, minDocs: Int): IndexMeta = {
+  def compact(spark: SparkSession, indexDir: String, minDocs: Int): IndexMeta =
+    compact(spark, indexDir, minDocs, maxGroupSegments = 32)
+
+  /** Tiered compaction: adjacent runs of sub-`minDocs` segments merge;
+    * segments at or above the threshold are left alone (the reference's
+    * LogMergePolicy size tiers, `src/core/index/LogMergePolicy.cpp` —
+    * merges pick small segments, never rewrite the whole index). Each run
+    * is chunked to at most `maxGroupSegments` inputs (the reference's
+    * mergeFactor), which bounds a single merge task's open readers and
+    * output size, and the resulting merge groups execute as ONE SPARK JOB
+    * — one task per group — not a driver-side loop: a 100 TB index whose
+    * streaming ingest left thousands of mini-segments compacts at cluster
+    * width, with the driver only committing the new snapshot. */
+  def compact(spark: SparkSession, indexDir: String, minDocs: Int,
+      maxGroupSegments: Int): IndexMeta = {
+    require(maxGroupSegments >= 2, s"maxGroupSegments must be >= 2: $maxGroupSegments")
     val meta = IndexMetaIO.readLatest(indexDir)
       .getOrElse(throw new IllegalStateException(s"no committed index at $indexDir"))
     val segs = meta.segments.sortBy(_.docBase)
     val nextId = segs.map(_.segId + 1).foldLeft(0)(math.max)
-    // group adjacent runs of small segments
+    // group adjacent runs of small segments, chunked to the merge factor
     val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[SegmentMeta]]
     var cur = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+    def flush(): Unit = {
+      cur.grouped(maxGroupSegments).foreach(g => if (g.size > 1) groups += g.toSeq)
+      cur = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+    }
     segs.foreach { s =>
       if (s.docCount < minDocs &&
         (cur.isEmpty || cur.last.docBase + cur.last.docCount == s.docBase)) cur += s
       else {
-        if (cur.size > 1) groups += cur.toSeq
-        cur = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+        flush()
         if (s.docCount < minDocs) cur += s
       }
     }
-    if (cur.size > 1) groups += cur.toSeq
+    flush()
 
     if (groups.isEmpty) return meta
-    val merged = groups.zipWithIndex.map { case (g, k) =>
-      mergeSegments(indexDir, g.map(_.segId), nextId + k)
-    }
+    val groupsWithIds: Seq[(Seq[Int], Int)] =
+      groups.zipWithIndex.map { case (g, k) => (g.map(_.segId), nextId + k) }.toSeq
+    val merged =
+      if (groupsWithIds.size == 1)
+        groupsWithIds.map { case (ids, nid) => mergeSegments(indexDir, ids, nid) }
+      else {
+        // distribute: one merge group per task (mergeSegments streams its
+        // k-way merge, so per-task memory is bounded by block buffers ×
+        // maxGroupSegments, independent of segment or index size)
+        val idx = indexDir
+        spark.sparkContext
+          .parallelize(groupsWithIds, groupsWithIds.size)
+          .map { case (ids, nid) => Maintenance.mergeSegments(idx, ids, nid) }
+          .collect().toSeq
+      }
     val retired = groups.flatten.map(_.segId).toSet
     val newSegs = (segs.filterNot(s => retired.contains(s.segId)) ++ merged).sortBy(_.docBase)
     val newMeta = IndexMeta(meta.analyzer, newSegs.map(_.docCount.toLong).sum,

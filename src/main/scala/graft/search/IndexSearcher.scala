@@ -92,19 +92,39 @@ object FilterCache {
   *
   * Queries are executed in BATCHES: one Spark job computes global df for
   * all query terms (tiny shuffle: |terms| rows), one job scores all queries
-  * against all segments. Per-query driver work is O(segments · k). */
-final class IndexSearcher(spark: SparkSession, val indexDir: String) extends Serializable {
+  * against all segments. Per-query driver work is O(segments · k).
+  *
+  * `commitGen` opens a POINT-IN-TIME snapshot at that commit generation
+  * instead of the latest — the reference's IndexCommit / IndexReader::open
+  * (commit) (/root/reference/src/core/index/IndexReader.cpp, DirectoryReader
+  * over a SegmentInfos generation): the searcher sees exactly the segment
+  * set and deletion generation that commit recorded, regardless of later
+  * appends, deletes, or updates. Valid until a compaction retires segments
+  * the commit references (the same lifetime the reference gives non-latest
+  * commits under its default deletion policy). Enumerate openable
+  * generations with `IndexMetaIO.commitGens(dir)`. */
+final class IndexSearcher(spark: SparkSession, val indexDir: String,
+    commitGen: Option[Int]) extends Serializable {
 
-  val meta: IndexMeta = IndexMetaIO.readLatest(indexDir)
-    .getOrElse(throw new IllegalStateException(s"no committed index at $indexDir"))
+  def this(spark: SparkSession, indexDir: String) = this(spark, indexDir, None)
+
+  private val snapshot: (IndexMeta, Map[String, String]) = commitGen match {
+    case Some(g) => IndexMetaIO.readSnapshot(indexDir, g)
+      .getOrElse(throw new IllegalStateException(s"no commit generation $g at $indexDir"))
+    case None => IndexMetaIO.readLatestWithExtra(indexDir)
+      // readLatest's legacy fallback (reconstruct from segment dirs when
+      // the binary snapshot is unreadable), with no commit extras
+      .orElse(IndexMetaIO.readLatest(indexDir).map((_, Map.empty[String, String])))
+      .getOrElse(throw new IllegalStateException(s"no committed index at $indexDir"))
+  }
+  val meta: IndexMeta = snapshot._1
   val stats: CorpusStats = CorpusStats(meta.numDocs, meta.avgDocLength)
 
   /** Deletion generation of the snapshot this searcher opened — baked into
     * every reader-cache key so executors re-open segments after a delete
     * batch. Scoring stats (df, N, avgdl) deliberately keep counting
     * tombstoned docs until a merge reclaims them, as the reference does. */
-  private val delGen: Int = IndexMetaIO.readLatestWithExtra(indexDir)
-    .flatMap(_._2.get("delgen")).map(_.toInt).getOrElse(0)
+  private val delGen: Int = snapshot._2.get("delgen").map(_.toInt).getOrElse(0)
 
   private def cacheKey(path: String): String =
     if (delGen == 0) path else s"$path#$delGen"

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.index.{IndexBuilder, IndexConfig, Maintenance}
+import graft.index.{IndexBuilder, IndexConfig, IndexMetaIO, Maintenance}
 import graft.score.BM25
 import graft.search._
 
@@ -218,6 +218,34 @@ class DeleteSpec extends AnyFunSuite {
     val after = new IndexSearcher(spark, dir)
     assert(after.search(TermQ("doomed"), 10, BM25()).isEmpty)
     assert(after.liveDocCount() == 2)
+  }
+
+  test("a searcher opened at an old commit generation is a true point-in-time snapshot") {
+    import spark.implicits._
+    val texts = Seq("alpha a", "alpha b", "beta c", "beta d")
+    val dir = buildIndex(texts)
+    ReaderCache.clear()
+    val gen0 = IndexMetaIO.latestGen(dir).get
+
+    // mutate TWICE past the snapshot: delete 'alpha' (new commit), then
+    // append a doc that also matches 'alpha' (another commit)
+    assert(new IndexSearcher(spark, dir).deleteDocs(TermQ("alpha")) == 2)
+    val df = Seq(("u9999", "alpha reborn")).toDF("url", "text")
+    graft.streaming.StreamingIndexer.appendBatch(spark, df, dir,
+      docsPerSegment = 4, batchId = 99)
+    ReaderCache.clear()
+
+    // latest view: originals tombstoned, only the appended doc matches
+    val latest = new IndexSearcher(spark, dir)
+    assert(latest.search(TermQ("alpha"), 10, BM25()).length == 1)
+
+    // the reference's IndexReader::open(commit): the old generation sees
+    // exactly the pre-mutation index — both alphas live, no appended doc
+    val pit = new IndexSearcher(spark, dir, Some(gen0))
+    assert(pit.search(TermQ("alpha"), 10, BM25()).length == 2)
+    assert(pit.meta.numDocs == 4)
+    assert(pit.liveDocCount() == 4)
+    assert(IndexMetaIO.commitGens(dir).size >= 3) // build, delete, append
   }
 
   test("a later unrelated delete batch does not adopt a crashed batch's orphan bitsets") {

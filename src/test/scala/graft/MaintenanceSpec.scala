@@ -116,6 +116,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(vec.map(_._3.toSeq) == exp.map(_._2.toSeq))
   }
 
+  test("multi-group compaction runs distributed and respects the merge factor") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-par").toString
+    val ts = texts(100)
+    // 10 tiny batches -> 10 adjacent 10-doc segments
+    ts.grouped(10).zipWithIndex.foreach { case (g, b) =>
+      val df = g.zipWithIndex.map { case (t, i) => (f"u${b * 10 + i}%04d", t) }.toDF("url", "text")
+      graft.streaming.StreamingIndexer.appendBatch(spark, df, dir, docsPerSegment = 1 << 20, batchId = b)
+    }
+    val before = new IndexSearcher(spark, dir)
+    assert(before.meta.segments.size == 10)
+    val q = BoolQ(should = Seq(TermQ("w1"), TermQ("w7")))
+    val hitsBefore = before.search(q, 10, BM25())
+
+    // mergeFactor 3: run of 10 chunks to [3,3,3,1] -> three 30-doc merges
+    // through the one-task-per-group parallelize path, the lone leftover
+    // segment stays as-is
+    val after = Maintenance.compact(spark, dir, minDocs = 100, maxGroupSegments = 3)
+    assert(after.segments.map(_.docCount).sorted == Seq(10, 30, 30, 30), after.segments)
+    graft.search.ReaderCache.clear()
+    val hitsAfter = new IndexSearcher(spark, dir).search(q, 10, BM25())
+    assert(hitsAfter.toSeq == hitsBefore.toSeq)
+    assert(Maintenance.checkIndex(spark, dir).forall(_.ok))
+    // a second pass with an ample factor finishes the job
+    val again = Maintenance.compact(spark, dir, minDocs = 100)
+    assert(again.segments.size == 1, again.segments)
+    graft.search.ReaderCache.clear()
+    assert(new IndexSearcher(spark, dir).search(q, 10, BM25()).toSeq == hitsBefore.toSeq)
+  }
+
   test("build resume after compaction does not double-index merged ranges") {
     val dir = Files.createTempDirectory("graft-resume-compact").toString
     val corpus = SyntheticCorpus.generate(spark, 256, seed = 33, avgLen = 25, vocab = 80)
