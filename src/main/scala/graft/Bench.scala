@@ -29,7 +29,11 @@ import graft.search.{BoolQ, IndexSearcher, Query, TermQ}
   * full cumulative JSON is re-printed as its own line, tagged
   * `"partial":true`; the final line carries everything and no tag. A
   * timeout therefore preserves the last snapshot — whichever sections
-  * had finished. The run also SELF-BUDGETS against
+  * had finished. Every line carries a cumulative `host` block
+  * (sys/steal/idle since start) and a `host_sections` block (the same
+  * counters windowed per completed section), so a reclaim-episode window
+  * is attributable to the specific leg it hit from the artifact alone.
+  * The run also SELF-BUDGETS against
   * SPARK_GRAFT_BENCH_BUDGET_SECS (default 2400 s, inside the driver's
   * 60-minute kill with sbt-launch slack): round counts shrink and the 10×
   * leg shrinks-or-skips (recorded in the JSON) when the remaining budget
@@ -111,12 +115,36 @@ object Bench {
       f""""idle_pct":${100.0 * d(3) / total}%.1f}"""
   }
 
+  /** Host-counter deltas per completed section. The cumulative `host`
+    * block says whether the run as a whole was degraded but not WHICH leg
+    * a reclaim episode hit (run3's scale10 depression had to be inferred
+    * from the cumulative sys% jumping 0.5→19.8 between lines); these
+    * windows make the attribution part of the artifact itself. */
+  private var lastSectionJiffies: Array[Long] = cpuJiffies0
+  private val sectionHost = scala.collection.mutable.LinkedHashMap.empty[String, String]
+  private def markSection(key: String): Unit = {
+    if (cpuJiffies0 == null) return
+    val now = readCpuJiffies()
+    if (now == null || lastSectionJiffies == null) { lastSectionJiffies = now; return }
+    val d = now.zip(lastSectionJiffies).map { case (a, b) => a - b }
+    val total = d.sum.toDouble
+    if (total > 0)
+      sectionHost(key) =
+        f""""$key":{"sys_pct":${100.0 * d(2) / total}%.1f,""" +
+          f""""steal_pct":${100.0 * d(7) / total}%.1f,""" +
+          f""""idle_pct":${100.0 * d(3) / total}%.1f}"""
+    lastSectionJiffies = now
+  }
+
   private def emit(partial: Boolean): Unit = {
     val extra = if (sections.isEmpty) "" else "," + sections.values.mkString(",")
+    val hostSec =
+      if (sectionHost.isEmpty) ""
+      else s""","host_sections":{${sectionHost.values.mkString(",")}}"""
     val tag = if (partial) ""","partial":true""" else ""
     println(f"""{"metric":"total","value":$batteryTotal,"unit":"sec","queries":$batteryJson,""" +
       f""""sf":"$sfDirForJson","elapsed_secs":$elapsed%.1f,"budget_secs":$budgetSecs%.0f""" +
-      hostHealthJson() + s"$extra$tag}")
+      hostHealthJson() + hostSec + s"$extra$tag}")
     System.out.flush()
   }
 
@@ -242,6 +270,7 @@ object Bench {
         f""""rounds":${rounds.size},"pair2_cpus":[$tinyCpus,$smallCpus],""" +
         f""""pair2_secs":[$tinySec%.2f,$smallSec%.2f],""" +
         f""""pair2_rounds":${rounds2.size},"pair2_scaling_efficiency":$scalingEff2%.3f}"""
+    markSection("index_build")
     emit(partial = true)
 
     // ---- query throughput over a REALISTIC segment layout: 15k-doc
@@ -290,6 +319,7 @@ object Bench {
     sections("query_throughput") =
       f""""query_throughput":{"batch_queries":${queryBatch.size},"wand_qps":$wandQps%.1f,""" +
         f""""exhaustive_qps":$exhQps%.1f,"wand_speedup":${exhSec / wandSec}%.2f}"""
+    markSection("query_throughput")
     emit(partial = true)
 
     // ---- SparkEntry battery on the driver's SF dir: min-of-3 interleaved
@@ -320,6 +350,7 @@ object Bench {
     batteryJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     batteryTotal = results.map(_._2).sum
     sections("battery_rounds") = s""""battery_rounds":${batteryRounds.size}"""
+    markSection("battery")
     emit(partial = true)
 
     // ---- query-throughput scaling pair (secondary north-rule evidence:
@@ -345,6 +376,7 @@ object Bench {
         f""""query_scaling":{"low_cpus":$lowCpus,"low_wand_qps":$lowQps%.1f,""" +
           f""""high_cpus":$cpus,"high_wand_qps":$wandQps%.1f,""" +
           f""""scaling_efficiency":$qEff%.3f}"""
+      markSection("query_scaling")
       emit(partial = true)
       spark = newSession(cpus) // the scale-10 leg below reuses a full-width session
     }
@@ -415,6 +447,7 @@ object Bench {
             f""""wand_qps":${queryBatch.size / wand10}%.1f,""" +
             f""""exhaustive_qps":${queryBatch.size / exh10}%.1f,""" +
             f""""wand_speedup":${exh10 / wand10}%.2f}"""
+        markSection("scale10")
         emit(partial = true)
       }
     }
