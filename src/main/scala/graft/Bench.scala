@@ -125,7 +125,8 @@ object Bench {
   private def markSection(key: String): Unit = {
     if (cpuJiffies0 == null) return
     val now = readCpuJiffies()
-    if (now == null || lastSectionJiffies == null) { lastSectionJiffies = now; return }
+    if (now == null || lastSectionJiffies == null ||
+      now.length < 8 || lastSectionJiffies.length < 8) { lastSectionJiffies = now; return }
     val d = now.zip(lastSectionJiffies).map { case (a, b) => a - b }
     val total = d.sum.toDouble
     if (total > 0)
@@ -350,7 +351,7 @@ object Bench {
     batteryJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     batteryTotal = results.map(_._2).sum
     sections("battery_rounds") = s""""battery_rounds":${batteryRounds.size}"""
-    markSection("battery")
+    markSection("battery_rounds") // key matches the section key for joins
     emit(partial = true)
 
     // ---- query-throughput scaling pair (secondary north-rule evidence:

@@ -140,9 +140,17 @@ object IndexMetaIO {
 
   /** All commit generations on disk, ascending — the reference's
     * IndexReader::listCommits (each generation is an openable point-in-time
-    * snapshot until a compaction retires segments it references). */
-  def commitGens(indexDir: String): Seq[Int] =
-    listCommitGens(new File(indexDir, "commits")).sorted
+    * snapshot until a compaction retires segments it references). Only
+    * generations whose binary `.segs` twin survives are listed: the
+    * point-in-time open path reads the twin, so a `.json` whose twin was
+    * lost (the legacy case `readLatest`'s dir-scan fallback covers) must
+    * not be advertised as openable. */
+  def commitGens(indexDir: String): Seq[Int] = {
+    val cd = new File(indexDir, "commits")
+    listCommitGens(cd)
+      .filter(g => new File(cd, s"commit_$g.segs").exists())
+      .sorted
+  }
 
   private def listCommitGens(commitsDir: File): Seq[Int] = {
     val fs = Option(commitsDir.listFiles()).getOrElse(Array.empty)
@@ -158,7 +166,7 @@ object IndexMetaIO {
     val dir = new File(indexDir)
     val fs = Option(dir.listFiles()).getOrElse(Array.empty)
     fs.toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("seg-") && !f.getName.endsWith(".tmp"))
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-") && !f.getName.contains(".tmp"))
       .flatMap { segDir =>
         val metaFile = new File(segDir, "meta.bin")
         if (metaFile.exists()) Some(decodeSegment(Files.readAllBytes(metaFile.toPath)))

@@ -169,13 +169,13 @@ object Maintenance {
       }
       live = its.indices.filter(its(_).hasNext).toArray
     }
+    // the merged segment's carried bitset belongs to the CURRENT delete
+    // generation (compaction does not bump delgen, it carries it), so
+    // readers bounded by the committed delgen select it; handing it to the
+    // writer publishes it INSIDE the same atomic rename as the segment —
+    // no window where the merged segment is readable without its tombstones
+    writer.addCarriedDeletes(carried, committedGen)
     val meta = writer.finish()
-    if (!carried.isEmpty)
-      // the merged segment's carried bitset belongs to the CURRENT delete
-      // generation (compaction does not bump delgen, it carries it), so
-      // readers bounded by the committed delgen select it
-      SegmentFormat.writeDeletes(
-        new File(indexDir, SegmentFormat.segDirName(newSegId)), carried, committedGen)
 
     // retire the merged inputs AFTER the new segment is published, then
     // snapshot (readers only ever see snapshotted sets)
@@ -209,7 +209,24 @@ object Maintenance {
     val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[SegmentMeta]]
     var cur = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
     def flush(): Unit = {
-      cur.grouped(maxGroupSegments).foreach(g => if (g.size > 1) groups += g.toSeq)
+      // balanced chunking: ceil(n/factor) chunks of near-equal size, so a
+      // run of 10 at factor 3 compacts as [3,3,2,2] in ONE pass — plain
+      // grouped() would strand a trailing size-1 chunk ([3,3,3,1]) that
+      // needs a second compact() call to converge
+      val n = cur.size
+      if (n > 1) {
+        val numChunks = (n + maxGroupSegments - 1) / maxGroupSegments
+        val base = n / numChunks
+        val rem = n % numChunks
+        var off = 0
+        var k = 0
+        while (k < numChunks) {
+          val sz = base + (if (k < rem) 1 else 0)
+          if (sz > 1) groups += cur.slice(off, off + sz).toSeq
+          off += sz
+          k += 1
+        }
+      }
       cur = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
     }
     segs.foreach { s =>

@@ -155,9 +155,17 @@ object SegmentFormat {
   *                 per-block (lastDoc, maxFreq, minDl) block-max metadata
   *                 enabling Block-Max WAND (Ding & Suel, WSDM 2011)
   *
-  * Write is atomic: files land in `<dir>.tmp` and are renamed into place in
-  * `finish()` — the crash-safe commit unit of the resumable build (analog of
-  * the reference's write-once segments_N, SegmentInfos.cpp:29-31). */
+  * Write is atomic: files land in an attempt-unique `<dir>.tmp.<nonce>` and
+  * are renamed into place in `finish()` — the crash-safe commit unit of the
+  * resumable build (analog of the reference's write-once segments_N,
+  * SegmentInfos.cpp:29-31). Duplicate task attempts (speculative execution,
+  * zombie attempts a stage resubmission left behind — Spark's cooperative
+  * kill cannot interrupt straight-line segment writes) are safe twice over:
+  * each attempt writes its own tmp dir, and publication is
+  * FIRST-ATTEMPT-WINS — a later identical attempt discards its output
+  * instead of delete-and-republishing a segment a commit may already
+  * reference. Only a prior dir whose meta DIFFERS is replaced (a stale
+  * segment from a superseded build — the old idempotent-re-run path). */
 final class SegmentWriter(
     indexDir: String,
     segId: Int,
@@ -173,7 +181,16 @@ final class SegmentWriter(
   import SegmentFormat._
 
   private val finalDir = new File(indexDir, segDirName(segId))
-  private val tmpDir = new File(indexDir, segDirName(segId) + ".tmp")
+  // attempt-unique: concurrent duplicate attempts must not share a tmp dir
+  private val tmpDir = new File(indexDir,
+    segDirName(segId) + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
+
+  // deletes carried through a merge, published atomically WITH the segment
+  // (inside the same rename) so no reader window exists where the merged
+  // segment is visible without its tombstones
+  private var carriedDeletes: Option[(java.util.BitSet, Int)] = None
+  def addCarriedDeletes(bits: java.util.BitSet, gen: Int): Unit =
+    carriedDeletes = if (bits.isEmpty) None else Some((bits, gen))
 
   private val norms = new Array[Byte](docCount)
   private val doclens = new Array[Int](docCount)
@@ -443,10 +460,37 @@ final class SegmentWriter(
     val meta = SegmentMeta(segId, docBase, docCount, sumDl, termCount,
       postingCount, bytes, analyzerName, storePositions, storeVectors, storePayloads)
     writeFile(new File(tmpDir, "meta.bin"), IndexMetaIO.encodeSegment(meta))
+    // carried del bitset rides inside the same atomic rename (after meta.bin
+    // so the byte count stays the segment-proper size)
+    carriedDeletes.foreach { case (bits, gen) =>
+      writeFile(new File(tmpDir, delFileName(gen)), bits.toByteArray)
+    }
 
-    // atomic publish (idempotent on re-run: replace any half-written prior)
+    // atomic publish, first-attempt-wins: an existing dir with IDENTICAL
+    // meta is a duplicate attempt's earlier publication (merge/build output
+    // is deterministic per (segId, inputs)) — keep it, discard ours, so a
+    // zombie attempt never unpublishes a segment a commit already
+    // references. A dir with DIFFERENT meta is a stale prior → replace
+    // (the old idempotent-re-run semantics).
+    def alreadyPublished(): Boolean = {
+      val mf = new File(finalDir, "meta.bin")
+      try mf.exists() &&
+        IndexMetaIO.decodeSegment(Files.readAllBytes(mf.toPath)) == meta
+      catch { case _: Exception => false }
+    }
+    if (alreadyPublished()) { deleteRecursive(tmpDir); return meta }
     if (finalDir.exists()) deleteRecursive(finalDir)
-    Files.move(tmpDir.toPath, finalDir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmpDir.toPath, finalDir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        // lost a publish race to a concurrent attempt — defer to it if equal
+        if (alreadyPublished()) deleteRecursive(tmpDir) else throw e
+    }
+    // best-effort sweep of crashed attempts' tmp dirs for this segment
+    Option(new File(indexDir).listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith(segDirName(segId) + ".tmp.") && f != tmpDir)
+        try deleteRecursive(f) catch { case _: Exception => () }
+    })
     meta
   }
 

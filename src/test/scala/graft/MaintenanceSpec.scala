@@ -53,6 +53,44 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate merge attempts never unpublish a live segment; del bitset rides the publish rename") {
+    val ts = texts(90)
+    val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val dir = Files.createTempDirectory("graft-zombie").toString
+    LocalIndex.build(dir, docs, "standard", docsPerSegment = 30) // segs 0,1,2
+
+    // tombstone doc 5 at the committed generation (LocalIndex commits delgen 0)
+    val bits = new java.util.BitSet(30); bits.set(5)
+    SegmentFormat.writeDeletes(new File(dir, SegmentFormat.segDirName(0)), bits, 0)
+
+    val m1 = Maintenance.mergeSegments(dir, Seq(0, 1, 2), newSegId = 3)
+    val seg3 = new File(dir, SegmentFormat.segDirName(3))
+    // the carried bitset was published INSIDE the same rename as the segment
+    assert(new File(seg3, SegmentFormat.delFileName(0)).exists())
+    val r3 = new SegmentReader(seg3, delGenBound = 0)
+    assert(r3.deleted(5) && !r3.deleted(6))
+
+    // a zombie/speculative duplicate attempt publishes identical output:
+    // first-attempt-wins — the live dir must NOT be deleted-and-republished
+    val watched = Seq("meta.bin", "postings.bin", "terms.bin", SegmentFormat.delFileName(0))
+    val mtimes = watched.map(f => Files.getLastModifiedTime(new File(seg3, f).toPath))
+    Thread.sleep(25)
+    val m2 = Maintenance.mergeSegments(dir, Seq(0, 1, 2), newSegId = 3)
+    assert(m2 == m1)
+    assert(watched.map(f => Files.getLastModifiedTime(new File(seg3, f).toPath)) == mtimes,
+      "duplicate attempt rewrote a live segment")
+    // no attempt tmp dirs left behind
+    assert(!new File(dir).listFiles().exists(_.getName.contains(".tmp")))
+
+    // a DIFFERENT prior under the same segId is stale -> replaced
+    val p1 = Maintenance.mergeSegments(dir, Seq(0, 1), newSegId = 4)
+    assert(p1.docCount == 60)
+    val p2 = Maintenance.mergeSegments(dir, Seq(0, 1, 2), newSegId = 4)
+    assert(p2.docCount == 90)
+    val r4 = new SegmentReader(new File(dir, SegmentFormat.segDirName(4)), delGenBound = 0)
+    assert(r4.meta.docCount == 90 && r4.deleted(5))
+  }
+
   test("compaction of streaming mini-segments preserves query results") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-compact").toString
@@ -130,16 +168,16 @@ class MaintenanceSpec extends AnyFunSuite {
     val q = BoolQ(should = Seq(TermQ("w1"), TermQ("w7")))
     val hitsBefore = before.search(q, 10, BM25())
 
-    // mergeFactor 3: run of 10 chunks to [3,3,3,1] -> three 30-doc merges
-    // through the one-task-per-group parallelize path, the lone leftover
-    // segment stays as-is
+    // mergeFactor 3: run of 10 chunks BALANCED to [3,3,2,2] -> four merges
+    // through the one-task-per-group parallelize path; every segment of the
+    // run compacts in ONE pass (plain grouped() would strand a size-1 tail)
     val after = Maintenance.compact(spark, dir, minDocs = 100, maxGroupSegments = 3)
-    assert(after.segments.map(_.docCount).sorted == Seq(10, 30, 30, 30), after.segments)
+    assert(after.segments.map(_.docCount).sorted == Seq(20, 20, 30, 30), after.segments)
     graft.search.ReaderCache.clear()
     val hitsAfter = new IndexSearcher(spark, dir).search(q, 10, BM25())
     assert(hitsAfter.toSeq == hitsBefore.toSeq)
     assert(Maintenance.checkIndex(spark, dir).forall(_.ok))
-    // a second pass with an ample factor finishes the job
+    // a second pass with an ample factor merges the merged tier down to one
     val again = Maintenance.compact(spark, dir, minDocs = 100)
     assert(again.segments.size == 1, again.segments)
     graft.search.ReaderCache.clear()
