@@ -266,6 +266,34 @@ object EngineQueries {
     new IndexSearcher(spark, scratch.getPath).matchingDocs(keep)
   }
 
+  /** Point-in-time requery — the reference's
+    * `IndexReader::open(IndexCommit)` / SnapshotDeletionPolicy semantics
+    * (/root/reference/src/core/index/SnapshotDeletionPolicy.cpp: a
+    * retained commit stays readable as-of its snapshot) as a driver-oracled
+    * entry: on a scratch copy of the cached index, capture the latest
+    * commit generation, tombstone every doc matching `del` (which commits
+    * a LATER generation), then return the match set of `keep` from BOTH
+    * views tagged by name — the searcher pinned at the captured generation
+    * must see the pre-delete corpus (its delgen-keyed readers never select
+    * the newer del files), while a fresh searcher must see the deletes.
+    * Non-vacuous because `keep ∩ del` is non-empty: a PIT reader that
+    * wrongly observed the deletes would lose those rows. */
+  def pitRequery(spark: SparkSession, sfDir: String,
+      del: Query, keep: Query): DataFrame = {
+    val base = searcher(spark, sfDir)
+    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-index-pit-" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+    rm(scratch)
+    copyDir(new java.io.File(base.indexDir), scratch)
+    val gen0 = IndexMetaIO.commitGens(scratch.getPath).max
+    new IndexSearcher(spark, scratch.getPath).deleteDocs(del)
+    val pit = new IndexSearcher(spark, scratch.getPath, Some(gen0))
+    val latest = new IndexSearcher(spark, scratch.getPath)
+    pit.matchingDocs(keep).select(lit("pit").as("view"), col("doc_id"))
+      .unionAll(latest.matchingDocs(keep)
+        .select(lit("latest").as("view"), col("doc_id")))
+  }
+
   /** Field-sorted top-n over an engine match set — the
     * TopFieldCollector/SortField path (reference
     * src/core/search/TopFieldCollector.cpp, SortField.cpp) re-expressed:

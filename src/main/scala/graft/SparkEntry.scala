@@ -267,6 +267,14 @@ object SparkEntry {
     "delete_requery" -> ((s, dir) =>
       EngineQueries.deleteRequery(s, dir, del = TermQ("spark"), keep = TermQ("window"))),
 
+    // point-in-time requery on a scratch copy: snapshot the commit gen,
+    // tombstone 'spark' docs (a later gen), then read 'window' matches from
+    // BOTH the pinned snapshot (pre-delete corpus) and a fresh searcher
+    // (post-delete) — the reference's IndexReader::open(IndexCommit)/
+    // SnapshotDeletionPolicy isolation through the driver oracle
+    "pit_requery" -> ((s, dir) =>
+      EngineQueries.pitRequery(s, dir, del = TermQ("spark"), keep = TermQ("window"))),
+
     // cross-index search: the documents corpus split by doc_id parity into
     // TWO separately-built indexes, searched through MultiIndexSearcher
     // (summed df, combined stats, starts[] docId remap) — must hash-match
@@ -572,6 +580,15 @@ object SparkEntry {
       s"""$tokCte
          |SELECT DISTINCT doc_id FROM tokf WHERE term = 'window'
          |AND doc_id NOT IN (SELECT doc_id FROM tokf WHERE term = 'spark')""".stripMargin,
+
+    "pit_requery" ->
+      s"""$tokCte,
+         |spark_docs AS (SELECT DISTINCT doc_id FROM tokf WHERE term = 'spark'),
+         |win AS (SELECT DISTINCT doc_id FROM tokf WHERE term = 'window')
+         |SELECT 'pit' AS view, doc_id FROM win
+         |UNION ALL
+         |SELECT 'latest' AS view, doc_id FROM win
+         |WHERE doc_id NOT IN (SELECT doc_id FROM spark_docs)""".stripMargin,
 
     // tie-break models the engine's MERGED-docId order (the reference's
     // MultiSearcher docBase-offset merge): sub-index 0 = even doc_ids
