@@ -294,6 +294,29 @@ object EngineQueries {
         .select(lit("latest").as("view"), col("doc_id")))
   }
 
+  /** Delete → compact → requery — segment merge with tombstone reclaim
+    * (the reference's SegmentMerger dropping deleted docs,
+    * /root/reference/src/core/index/SegmentMerger.cpp) through the driver
+    * oracle: on a scratch copy, tombstone every doc matching `del`, run
+    * the DISTRIBUTED tiered compaction at merge factor 8 — several merge
+    * groups execute as one Spark job, one task each (postings reclaimed,
+    * still-dead slots carried in each merged del bitset riding the same
+    * atomic publish) — and return the surviving match set of `keep` from
+    * a fresh searcher over the compacted index. The result must equal the
+    * pre-compaction survivor set — DuckDB recomputes it directly. */
+  def compactRequery(spark: SparkSession, sfDir: String,
+      del: Query, keep: Query): DataFrame = {
+    val base = searcher(spark, sfDir)
+    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-index-cpt-" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+    rm(scratch)
+    copyDir(new java.io.File(base.indexDir), scratch)
+    new IndexSearcher(spark, scratch.getPath).deleteDocs(del)
+    graft.index.Maintenance.compact(spark, scratch.getPath,
+      minDocs = Int.MaxValue, maxGroupSegments = 8)
+    new IndexSearcher(spark, scratch.getPath).matchingDocs(keep)
+  }
+
   /** Field-sorted top-n over an engine match set — the
     * TopFieldCollector/SortField path (reference
     * src/core/search/TopFieldCollector.cpp, SortField.cpp) re-expressed:

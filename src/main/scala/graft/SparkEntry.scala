@@ -267,6 +267,15 @@ object SparkEntry {
     "delete_requery" -> ((s, dir) =>
       EngineQueries.deleteRequery(s, dir, del = TermQ("spark"), keep = TermQ("window"))),
 
+    // delete -> distributed compact -> requery on a scratch copy: tombstone
+    // 'spark' docs, merge the whole index at factor 8 (several merge groups
+    // in ONE Spark job; postings reclaimed, dead slots carried), and return
+    // surviving 'window' OR 'merge' matches — SegmentMerger-with-deletes
+    // semantics through the driver oracle
+    "compact_requery" -> ((s, dir) =>
+      EngineQueries.compactRequery(s, dir, del = TermQ("spark"),
+        keep = BoolQ(should = Seq(TermQ("window"), TermQ("merge"))))),
+
     // point-in-time requery on a scratch copy: snapshot the commit gen,
     // tombstone 'spark' docs (a later gen), then read 'window' matches from
     // BOTH the pinned snapshot (pre-delete corpus) and a fresh searcher
@@ -579,6 +588,11 @@ object SparkEntry {
     "delete_requery" ->
       s"""$tokCte
          |SELECT DISTINCT doc_id FROM tokf WHERE term = 'window'
+         |AND doc_id NOT IN (SELECT doc_id FROM tokf WHERE term = 'spark')""".stripMargin,
+
+    "compact_requery" ->
+      s"""$tokCte
+         |SELECT DISTINCT doc_id FROM tokf WHERE term IN ('window', 'merge')
          |AND doc_id NOT IN (SELECT doc_id FROM tokf WHERE term = 'spark')""".stripMargin,
 
     "pit_requery" ->
