@@ -332,4 +332,63 @@ object EngineQueries {
       .orderBy(asc("source"), desc("doc_id"))
       .limit(n)
   }
+
+  /** Whole-document highlighting of every doc matching `q` — the contrib
+    * Highlighter (reference /root/reference/src/contrib/highlighter/
+    * Highlighter.cpp fragment loop, SimpleHTMLFormatter.cpp tag wrapping,
+    * QueryTermExtractor.cpp term weights) driven to the driver oracle:
+    * the engine match set (distributed, per-segment tasks) joins the doc
+    * store, then each doc renders ONE whole-text fragment with every query
+    * term wrapped in <B>…</B> — offset-exact reconstruction DuckDB can
+    * rebuild token-by-token (split → wrap → re-join). Highlighting is a
+    * narrow per-partition map after the join: at 100 TB it parallelizes
+    * per doc with nothing shared but the broadcast query. Text is
+    * normalized to single-space token joins first so the SQL twin's
+    * reconstruction is byte-exact (the testdata is already in that form —
+    * the normalization is an identity guard, not a semantic change). */
+  def highlightMatches(spark: SparkSession, sfDir: String, q: Query): DataFrame = {
+    val s = searcher(spark, sfDir)
+    val matches = s.matchingDocs(q)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    import spark.implicits._
+    val bcQ = spark.sparkContext.broadcast(q)
+    docs.join(matches, "doc_id").as[(Long, String)]
+      .mapPartitions { it =>
+        val query = bcQ.value
+        it.map { case (id, text) =>
+          val norm = text.split(' ').filter(_.nonEmpty).mkString(" ")
+          val frag = graft.search.Highlighter.bestFragments(
+            query, graft.analysis.WhitespaceAnalyzer, norm,
+            fragmentSize = Int.MaxValue, maxFragments = 1)
+          (id, frag.headOption.getOrElse(norm))
+        }
+      }.toDF("doc_id", "highlighted")
+  }
+
+  /** Percolation / query routing — the reference MemoryIndex's primary
+    * use case (/root/reference/src/contrib/memory/MemoryIndex.cpp class
+    * comment: "a percolator-style matcher"): a registered query set is
+    * broadcast, each document is analyzed ONCE into a single-doc in-memory
+    * index, and every (doc, query) match emits a routing row. Narrow
+    * per-partition map over the doc store — no index, no shuffle; at
+    * 100 TB each executor percolates its split independently, which is
+    * exactly how a streaming ingest would tag documents with standing
+    * queries. */
+  def percolate(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, Query)]): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    import spark.implicits._
+    val bcQs = spark.sparkContext.broadcast(queries)
+    docs.as[(Long, String)]
+      .mapPartitions { it =>
+        val qs = bcQs.value
+        it.flatMap { case (id, text) =>
+          val mi = new graft.search.MemoryIndex(
+            text, graft.analysis.WhitespaceAnalyzer)
+          qs.collect { case (name, q) if mi.matches(q) => (id, name) }
+        }
+      }.toDF("doc_id", "query_name")
+  }
 }

@@ -317,6 +317,24 @@ object SparkEntry {
     "sorted_topk" -> ((s, dir) =>
       EngineQueries.sortedTopK(s, dir, TermQ("window"), 20)),
 
+    // contrib Highlighter end-to-end: every doc matching spark OR window
+    // renders one whole-text fragment with each query term <B>-wrapped;
+    // DuckDB rebuilds the exact markup token-by-token
+    "highlight" -> ((s, dir) =>
+      EngineQueries.highlightMatches(s, dir,
+        BoolQ(should = Seq(TermQ("spark"), TermQ("window"))))),
+
+    // MemoryIndex percolation (query routing): three standing queries —
+    // a phrase, a must/not boolean, an ordered span-near — are matched
+    // against every doc through a per-doc in-memory index; emits
+    // (doc_id, query_name) routing rows, recomputed relationally by DuckDB
+    "percolate" -> ((s, dir) =>
+      EngineQueries.percolate(s, dir, Seq(
+        "p_phrase" -> PhraseQ(Seq("key", "agg")),
+        "p_bool" -> BoolQ(must = Seq(TermQ("spark")), mustNot = Seq(TermQ("window"))),
+        "p_span" -> SpanNearQ(Seq(SpanTermQ("window"), SpanTermQ("merge")),
+          slop = 2, inOrder = true)))),
+
     // batch-mode twin of StreamOps.windowedTermCounts (the IDENTICAL plan
     // builder the streaming entry point uses — Catalyst strips the
     // watermark node in batch): 10-minute tumbling-window term counts over
@@ -643,6 +661,32 @@ object SparkEntry {
          |SELECT d.doc_id, d.source FROM documents d
          |JOIN (SELECT DISTINCT doc_id FROM tokf WHERE term = 'window') m USING (doc_id)
          |ORDER BY d.source ASC, d.doc_id DESC LIMIT 20""".stripMargin,
+
+    "highlight" ->
+      s"""$tokCte
+         |SELECT doc_id,
+         |  list_aggregate(list_transform(
+         |      list_filter(str_split(text, ' '), x -> x <> ''),
+         |      x -> CASE WHEN x IN ('spark', 'window')
+         |           THEN '<B>' || x || '</B>' ELSE x END),
+         |    'string_agg', ' ') AS highlighted
+         |FROM documents
+         |WHERE doc_id IN
+         |  (SELECT doc_id FROM tokf WHERE term IN ('spark', 'window'))""".stripMargin,
+
+    "percolate" ->
+      s"""$posCte
+         |SELECT doc_id, 'p_phrase' AS query_name FROM documents
+         |WHERE ' ' || text || ' ' LIKE '% key agg %'
+         |UNION ALL
+         |SELECT DISTINCT doc_id, 'p_bool' FROM p
+         |WHERE term = 'spark' AND doc_id NOT IN
+         |  (SELECT doc_id FROM p WHERE term = 'window')
+         |UNION ALL
+         |SELECT DISTINCT doc_id, 'p_span' FROM
+         |  (SELECT a.doc_id FROM p a JOIN p b USING (doc_id)
+         |   WHERE a.term = 'window' AND b.term = 'merge'
+         |   AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2) s""".stripMargin,
 
     "streaming_terms" ->
       """SELECT (epoch_us(ts) // 600000000) * 600 AS win_start,
