@@ -419,27 +419,38 @@ object Bench {
         emit(partial = true)
       } else {
         spark.catalog.clearCache() // drop the battery's dedup/ANN caches first
-        val corpus10 = s"$work/pages10"
+        // The 10x corpus and indexes live on DISK, not tmpfs: all five
+        // committed r5 artifacts show this leg alone degraded (1x host
+        // windows clean at sys 0.4-0.7%, scale10 window sys 43-49%) — the
+        // leg's ~13 GB tmpfs-resident burst wakes the VM's proactive
+        // reclaim, and the episode then lingers. A same-window standalone
+        // A/B probe built 2.8x faster from disk-backed (evictable
+        // page-cache) corpus+index than from tmpfs-resident
+        // (unreclaimable) ones: 205 s vs 568 s on byte-identical input.
+        // The shuffle stays on tmpfs (bounded, transient).
+        val scaleBase = Files.createTempDirectory(
+          java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft-scale10").toString
+        val corpus10 = s"$scaleBase/pages10"
         SyntheticCorpus.generate(spark, scaleDocs, seed = 43, avgLen = benchAvgLen, vocab = 50000)
           .write.mode("overwrite").parquet(corpus10)
         val b10 = (1 to buildRounds).map { br =>
           val (_, sec) = time {
-            IndexBuilder.build(spark, spark.read.parquet(corpus10), IndexConfig(s"$work/idx10-r$br",
+            IndexBuilder.build(spark, spark.read.parquet(corpus10), IndexConfig(s"$scaleBase/idx10-r$br",
               docsPerSegment = 15000, storePositions = false, writeDocMap = false))
           }
-          if (br != buildRounds) rmdir(s"$work/idx10-r$br") // last build feeds the query leg
+          if (br != buildRounds) rmdir(s"$scaleBase/idx10-r$br") // last build feeds the query leg
           System.gc()
           sec
         }
         val build10Sec = b10.min
-        val searcher10 = new IndexSearcher(spark, s"$work/idx10-r$buildRounds")
+        val searcher10 = new IndexSearcher(spark, s"$scaleBase/idx10-r$buildRounds")
         searcher10.searchBatch(queryBatch.take(4), 10, BM25())
         val q10 = (1 to 2).map { _ =>
           val (_, e) = time(searcher10.searchBatch(queryBatch, 10, BM25(), useWand = false))
           val (_, w) = time(searcher10.searchBatch(queryBatch, 10, BM25(), useWand = true))
           (e, w)
         }
-        rmdir(s"$work/idx10-r$buildRounds"); rmdir(corpus10); System.gc()
+        rmdir(scaleBase); System.gc()
         val exh10 = q10.map(_._1).min
         val wand10 = q10.map(_._2).min
         sections("scale10") =
