@@ -355,6 +355,15 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.exactJaccardPairs(tbl(s, dir, "documents"), w = 3, minJaccard = 0.8)),
 
+    // cluster resolution over the near-dup pair graph (connected
+    // components by smallest-label propagation): each paired doc labeled
+    // with its component's min doc_id — the canonical-representative step
+    // after pair generation; DuckDB recomputes components via a recursive
+    // CTE over the same exact-Jaccard pairs
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.exactJaccardPairs(tbl(s, dir, "documents"), w = 3, minJaccard = 0.8))),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashPairs(tbl(s, dir, "documents"), w = 3, minJaccard = 0.8,
         bands = 32, rowsPerBand = 4)),
@@ -759,6 +768,25 @@ object SparkEntry {
 
     "dedup_jaccard" -> jaccardOracle,
     "dedup_minhash" -> jaccardOracle,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |      FROM t, unnest(generate_series(1, len(toks) - 2)) u(i) WHERE len(toks) >= 3),
+        |sd AS (SELECT DISTINCT doc_id, sh FROM s),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+        |          FROM sd a JOIN sd b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b FROM inter
+        |       JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+        |       WHERE ic::DOUBLE / (ca.n + cb.n - ic) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, min(lab) AS cluster_rep FROM reach GROUP BY 1""".stripMargin,
 
     "dedup_embedding" ->
       """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

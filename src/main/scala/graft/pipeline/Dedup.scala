@@ -228,4 +228,45 @@ object Dedup {
       .filter(col("cs") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cs"), 4).as("cos_sim")), Seq(sig))
   }
+
+  /** Duplicate-cluster resolution — the "keep one per near-dup cluster"
+    * step a training-data pipeline runs after pair generation: connected
+    * components over the near-dup pair graph, each doc labeled with its
+    * component's smallest doc_id (the canonical representative a
+    * keep/drop pass then filters on). Iterative smallest-label
+    * propagation: labels start as each node's own id; every round each
+    * node adopts the minimum label in its closed neighborhood; converged
+    * when no label changes. Rounds = O(component diameter) — near-dup
+    * components are shallow (every pair member shares a bucket with its
+    * neighbors), so a handful of rounds even at 100 TB; each round is one
+    * key-partitioned join + partial-agg min, nothing corpus-sized ever
+    * reaches the driver (the loop condition is a count, not a collect).
+    * Docs in no pair are singleton clusters by definition and are not
+    * returned. Expects pair columns (doc_a, doc_b). */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) { // 64 = diameter guard, never hit by
+      // bucket-generated pair graphs; a pathological chain would converge
+      // partially and the count below would report it changed
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(nbrMin, "id")
+        .select(col("id"), least(col("label"), col("nlabel")).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+    materialized(out, Seq(labels))
+  }
 }

@@ -310,4 +310,21 @@ class PipelineSpec extends AnyFunSuite {
       .digest("nothing here".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(out(3L)._4 == md)
   }
+
+  test("dupClusters: smallest-label propagation over chains, cycles, singletons") {
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round), triangle
+    // 10-11-12 with a redundant edge (cycle must still converge), and an
+    // isolated pair 20-21; node 99 appears in no pair and must be absent
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
 }
