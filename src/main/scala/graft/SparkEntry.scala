@@ -355,6 +355,15 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.exactJaccardPairs(tbl(s, dir, "documents"), w = 3, minJaccard = 0.8)),
 
+    // deterministic stratified mix sampling: per-source keep fractions
+    // decided by a hash of the doc id (same doc kept on every run and
+    // every cluster size — not a partition-layout-dependent random draw);
+    // DuckDB evaluates the identical md5-prefix predicate
+    "mix_sample" -> ((s, dir) =>
+      TextOps.mixSample(tbl(s, dir, "documents"),
+        quotas = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultQuota = 0.125)),
+
     // cluster resolution over the near-dup pair graph (connected
     // components by smallest-label propagation): each paired doc labeled
     // with its component's min doc_id — the canonical-representative step
@@ -768,6 +777,12 @@ object SparkEntry {
 
     "dedup_jaccard" -> jaccardOracle,
     "dedup_minhash" -> jaccardOracle,
+
+    "mix_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(doc_id::VARCHAR), 1, 4) <
+        |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+        |       WHEN 'src2' THEN '4000' ELSE '2000' END""".stripMargin,
 
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),

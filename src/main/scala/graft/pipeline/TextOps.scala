@@ -187,6 +187,31 @@ object TextOps {
         round(col("tokens").cast("double") / col("total_tokens"), 6).as("token_share"))
   }
 
+  /** Deterministic stratified sampling for training-mix targeting: keep a
+    * per-source fraction of documents, decided by a content-independent
+    * hash of the doc id rather than a random draw — the same doc is kept
+    * or dropped on every run, on every cluster size, under every
+    * partitioning (Spark's sample()/sampleBy() are seed-deterministic only
+    * per partition layout, which reshuffles under AQE/scale-up). The
+    * predicate compares the first 4 hex chars of md5(doc_id as string)
+    * against a per-source threshold string: lowercase-hex lexicographic
+    * order IS numeric order, so the SQL twin is the identical expression.
+    * Narrow map, no shuffle; quota resolution is a broadcast-free CASE
+    * chain (the quota table is a handful of literals). Sources absent
+    * from `quotas` fall back to `defaultQuota`. */
+  def mixSample(docs: DataFrame, quotas: Map[String, Double],
+      defaultQuota: Double = 0.0): DataFrame = {
+    def thr(q: Double): String = {
+      val v = math.max(0L, math.min(65536L, math.round(q * 65536)))
+      if (v >= 65536L) "g" else f"$v%04x" // "g" > any hex digit: keep-all
+    }
+    val thrExpr = quotas.foldLeft(lit(thr(defaultQuota))) {
+      case (acc, (s, q)) => when(col("source") === s, lit(thr(q))).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"))
+      .where(substring(md5(col("doc_id").cast("string")), 1, 4) < thrExpr)
+  }
+
   /** C4-style keep/drop gate: token-count window, punctuation ceiling,
     * repetition ceiling, language allow-list. Emits the decision and the
     * first failed rule so downstream can audit filter attrition. Narrow

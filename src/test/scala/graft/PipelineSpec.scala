@@ -311,6 +311,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L)._4 == md)
   }
 
+  test("mixSample: deterministic per-source keep set, quota 1.0 keeps all") {
+    val d = (0L until 400L).map(i => (i, s"t$i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val quotas = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val keep = TextOps.mixSample(d, quotas, defaultQuota = 0.25)
+      .as[(Long, String)].collect().toSet
+    // quota 1.0 keeps every src0 doc (the "g" keep-all branch); 0.0 none
+    assert(keep.count(_._2 == "src0") == 100)
+    assert(!keep.exists(_._2 == "src2"))
+    // default applies to the unlisted source, roughly a quarter kept
+    val dflt = keep.count(_._2 == "src3")
+    assert(dflt > 5 && dflt < 50, s"default-quota kept $dflt of 100")
+    // decision is a pure function of doc_id: a re-run and a repartitioned
+    // input produce the identical set (the property sample() lacks)
+    val again = TextOps.mixSample(d.repartition(7), quotas, defaultQuota = 0.25)
+      .as[(Long, String)].collect().toSet
+    assert(again == keep)
+  }
+
   test("dupClusters: smallest-label propagation over chains, cycles, singletons") {
     // chain 1-2-3-4 (diameter 3: needs >1 propagation round), triangle
     // 10-11-12 with a redundant edge (cycle must still converge), and an

@@ -53,4 +53,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("partial"), p) // map-side combine before the shuffle
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("mix_sample is a shuffle-free filter with a pruned scan") {
+    val p = plan(pipeline.TextOps.mixSample(docs, Map("src0" -> 0.5)))
+    assert(!p.contains("Exchange"), s"mix_sample shuffles:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"mix_sample reads the corpus text for an id/source decision: $readSchema")
+  }
 }
