@@ -247,8 +247,9 @@ object Dedup {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var pinned = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).cache()
+    var labels = pinned
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) { // 64 = diameter guard, never hit by
@@ -256,17 +257,20 @@ object Dedup {
       // partially and the count below would report it changed
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      // change detection rides the propagation join (nlabel < label IS
+      // "this round changed something") — no second labels join per round
       val next = labels.join(nbrMin, "id")
-        .select(col("id"), least(col("label"), col("nlabel")).as("label"))
+        .select(col("id"), least(col("label"), col("nlabel")).as("label"),
+          (col("nlabel") < col("label")).as("chg"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      pinned.unpersist()
+      pinned = next
+      labels = next.select(col("id"), col("label"))
       rounds += 1
     }
     edges.unpersist()
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
-    materialized(out, Seq(labels))
+    materialized(out, Seq(pinned))
   }
 }
