@@ -132,6 +132,21 @@ object Demo {
       "a window into the engine", fragmentSize = 50, maxFragments = 1)
       .foreach(f => println(s"[demo] highlight: $f"))
 
+    // pipeline ops: duplicate-cluster resolution + deterministic mix sampling
+    locally {
+      import spark.implicits._
+      val reps = graft.pipeline.Dedup.dupClusters(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      println(s"[demo] dup clusters 1-2,2-3,10-11 -> " +
+        reps.map { case (d, r) => s"$d:$r" }.mkString(","))
+      val kept = graft.pipeline.TextOps.mixSample(
+        (0L until 100L).map(i => (i, s"doc $i", if (i < 50) "a" else "b"))
+          .toDF("doc_id", "text", "source"),
+        quotas = Map("a" -> 1.0, "b" -> 0.2)).count()
+      println(s"[demo] mix sample a@1.0 b@0.2 kept $kept of 100")
+    }
+
     // probes
     println("[demo] probe empty-result: " +
       new IndexSearcher(spark, dir).search(QueryParser.parse("qqqqzzzz", WhitespaceAnalyzer), 5, BM25()).length)
