@@ -366,6 +366,37 @@ object EngineQueries {
       }.toDF("doc_id", "highlighted")
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF — Cormack/Clarke/
+    * Büttcher, SIGIR'09) of the lexical BM25 ranking and the dense
+    * embedding-cosine ranking, the standard lexical+vector fusion a
+    * modern retrieval stack runs. Each side is a BOUNDED top-`kEach`
+    * list produced distributed (per-segment WAND tasks / a broadcast
+    * query-vector scan); fusion itself is a full-outer join of two
+    * k-row lists — driver-trivial at any corpus size, which is the
+    * point of rank fusion over score fusion (no cross-engine score
+    * calibration, no unbounded intermediate). Text ranks come from the
+    * searcher's own hit order (full-precision score desc, docId asc),
+    * not the 4dp-rounded display score, so ties round-trip exactly. */
+  def hybridTopK(spark: SparkSession, sfDir: String, q: Query,
+      queryVecId: Long, kEach: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    import spark.implicits._
+    val hits = searcher(spark, sfDir).search(q, kEach, BM25Exact())
+    val text = hits.zipWithIndex.map { case (h, i) => (h.docId, i + 1) }
+      .toSeq.toDF("doc_id", "rt")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vec = graft.pipeline.Ann
+      .bruteForceTopK(e, e.filter(col("vec_id") === queryVecId), kEach)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("rv"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          when(col("rt").isNotNull, lit(1.0) / (col("rt") + rrfK)).otherwise(lit(0.0)) +
+            when(col("rv").isNotNull, lit(1.0) / (col("rv") + rrfK)).otherwise(lit(0.0)),
+          6).as("fused"))
+      .orderBy(col("fused").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Percolation / query routing — the reference MemoryIndex's primary
     * use case (/root/reference/src/contrib/memory/MemoryIndex.cpp class
     * comment: "a percolator-style matcher"): a registered query set is

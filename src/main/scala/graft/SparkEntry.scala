@@ -161,6 +161,15 @@ object SparkEntry {
       EngineQueries.topK(s, dir,
         BoolQ(must = Seq(TermQ("window"), TermQ("batch"))), 10)),
 
+    // hybrid lexical+dense retrieval: reciprocal-rank fusion of the BM25
+    // top-20 (engine WAND path) with the embedding-cosine top-20 for
+    // query vector 0; DuckDB recomputes both rankings and the same
+    // 1/(60+rank) fusion
+    "hybrid_topk" -> ((s, dir) =>
+      EngineQueries.hybridTopK(s, dir,
+        BoolQ(should = Seq(TermQ("window"), TermQ("spark"), TermQ("merge"))),
+        queryVecId = 0L, kEach = 20, k = 10)),
+
     "bm25_not" -> ((s, dir) =>
       EngineQueries.topK(s, dir,
         BoolQ(must = Seq(TermQ("window")), mustNot = Seq(TermQ("spark"))), 10)),
@@ -559,6 +568,19 @@ object SparkEntry {
       s"""${bm25Cte("'window', 'spark', 'merge'")}
          |SELECT doc_id, round(score, 4) AS score FROM sc
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "hybrid_topk" ->
+      s"""${bm25Cte("'window', 'spark', 'merge'")},
+         |tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rt
+         |       FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+         |vr AS (SELECT e.vec_id AS doc_id,
+         |         row_number() OVER (ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rv
+         |       FROM embeddings e JOIN embeddings q ON q.vec_id = 0 AND e.vec_id <> 0
+         |       ORDER BY rv LIMIT 20)
+         |SELECT doc_id,
+         |       round(coalesce(1.0/(60+rt), 0) + coalesce(1.0/(60+rv), 0), 6) AS fused
+         |FROM tr FULL OUTER JOIN vr USING (doc_id)
+         |ORDER BY fused DESC, doc_id LIMIT 10""".stripMargin,
 
     "explain_scores" ->
       s"""${bm25Cte("'window', 'spark', 'merge'")}
