@@ -247,9 +247,17 @@ object Dedup {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var pinned = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).cache()
-    var labels = pinned
+    // Each round's result is eagerly LOCAL-CHECKPOINTED, not merely
+    // cached: `labels` feeds the next round twice (propagation join +
+    // neighborhood agg), so without lineage truncation the logical plan
+    // doubles per round — a 40-hop chain graph OOMs the driver on plan
+    // strings alone long before any data is big (caught by the
+    // PipelineSpec fuzz). Checkpointing makes every round's plan
+    // constant-size; superseded checkpoint RDDs are reaped by the
+    // ContextCleaner once unreferenced.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) { // 64 = diameter guard, never hit by
@@ -262,15 +270,12 @@ object Dedup {
       val next = labels.join(nbrMin, "id")
         .select(col("id"), least(col("label"), col("nlabel")).as("label"),
           (col("nlabel") < col("label")).as("chg"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.filter(col("chg")).count()
-      pinned.unpersist()
-      pinned = next
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
     edges.unpersist()
-    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
-    materialized(out, Seq(pinned))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 }

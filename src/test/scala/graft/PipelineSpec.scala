@@ -330,6 +330,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == keep)
   }
 
+  test("dupClusters fuzz: 30 random graphs vs a local union-find") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 30) {
+      val n = 2 + rnd.nextInt(40)
+      val m = 1 + rnd.nextInt(60)
+      val pairs = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        if (a <= b) (a, b + 1) else (b, a) // distinct endpoints, any order
+      }.distinct
+      // reference: plain union-find over the same edges
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val want = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.dupClusters(pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial (n=$n m=$m): $got != $want")
+    }
+  }
+
+  test("mixSample monotonicity: a higher quota keeps a superset") {
+    val d = (0L until 300L).map(i => (i, s"x$i", "s")).toDF("doc_id", "text", "source")
+    val keeps = Seq(0.1, 0.3, 0.6, 0.9, 1.0).map { q =>
+      TextOps.mixSample(d, Map("s" -> q)).as[(Long, String)].collect().map(_._1).toSet
+    }
+    keeps.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi), s"quota increase dropped docs: ${lo -- hi}")
+    }
+    assert(keeps.last.size == 300) // quota 1.0 keeps everything
+  }
+
   test("dupClusters: smallest-label propagation over chains, cycles, singletons") {
     // chain 1-2-3-4 (diameter 3: needs >1 propagation round), triangle
     // 10-11-12 with a redundant edge (cycle must still converge), and an
