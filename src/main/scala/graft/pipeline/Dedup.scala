@@ -260,9 +260,9 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) { // 64 = diameter guard, never hit by
-      // bucket-generated pair graphs; a pathological chain would converge
-      // partially and the count below would report it changed
+    while (changed > 0 && rounds < 64) { // 64 = runaway guard; the require
+      // below turns an over-diameter graph into a loud failure, never a
+      // silently-partial clustering
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
       // change detection rides the propagation join (nlabel < label IS
@@ -275,6 +275,9 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
+    require(changed == 0,
+      s"dupClusters did not converge in $rounds rounds — component diameter " +
+        "exceeds the guard; raise the bound or pre-shard the pair graph")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
