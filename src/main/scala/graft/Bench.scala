@@ -428,31 +428,40 @@ object Bench {
         // page-cache) corpus+index than from tmpfs-resident
         // (unreclaimable) ones: 205 s vs 568 s on byte-identical input.
         // The shuffle stays on tmpfs (bounded, transient).
+        // sweep scratch dirs stranded by earlier crashed/killed runs — a
+        // failure below must not accumulate 13 GB orphans on disk (the
+        // tmpfs placement got this for free from the startup tmpfs sweep)
+        locally {
+          val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+          val stale = tmp.listFiles()
+          if (stale != null)
+            stale.filter(_.getName.startsWith("graft-scale10"))
+              .foreach(f => rmdir(f.getPath))
+        }
         val scaleBase = Files.createTempDirectory(
           java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft-scale10").toString
-        val corpus10 = s"$scaleBase/pages10"
-        SyntheticCorpus.generate(spark, scaleDocs, seed = 43, avgLen = benchAvgLen, vocab = 50000)
-          .write.mode("overwrite").parquet(corpus10)
-        val b10 = (1 to buildRounds).map { br =>
-          val (_, sec) = time {
-            IndexBuilder.build(spark, spark.read.parquet(corpus10), IndexConfig(s"$scaleBase/idx10-r$br",
-              docsPerSegment = 15000, storePositions = false, writeDocMap = false))
+        val (exh10, wand10, build10Sec) = try {
+          val corpus10 = s"$scaleBase/pages10"
+          SyntheticCorpus.generate(spark, scaleDocs, seed = 43, avgLen = benchAvgLen, vocab = 50000)
+            .write.mode("overwrite").parquet(corpus10)
+          val b10 = (1 to buildRounds).map { br =>
+            val (_, sec) = time {
+              IndexBuilder.build(spark, spark.read.parquet(corpus10), IndexConfig(s"$scaleBase/idx10-r$br",
+                docsPerSegment = 15000, storePositions = false, writeDocMap = false))
+            }
+            if (br != buildRounds) rmdir(s"$scaleBase/idx10-r$br") // last build feeds the query leg
+            System.gc()
+            sec
           }
-          if (br != buildRounds) rmdir(s"$scaleBase/idx10-r$br") // last build feeds the query leg
-          System.gc()
-          sec
-        }
-        val build10Sec = b10.min
-        val searcher10 = new IndexSearcher(spark, s"$scaleBase/idx10-r$buildRounds")
-        searcher10.searchBatch(queryBatch.take(4), 10, BM25())
-        val q10 = (1 to 2).map { _ =>
-          val (_, e) = time(searcher10.searchBatch(queryBatch, 10, BM25(), useWand = false))
-          val (_, w) = time(searcher10.searchBatch(queryBatch, 10, BM25(), useWand = true))
-          (e, w)
-        }
-        rmdir(scaleBase); System.gc()
-        val exh10 = q10.map(_._1).min
-        val wand10 = q10.map(_._2).min
+          val searcher10 = new IndexSearcher(spark, s"$scaleBase/idx10-r$buildRounds")
+          searcher10.searchBatch(queryBatch.take(4), 10, BM25())
+          val q10 = (1 to 2).map { _ =>
+            val (_, e) = time(searcher10.searchBatch(queryBatch, 10, BM25(), useWand = false))
+            val (_, w) = time(searcher10.searchBatch(queryBatch, 10, BM25(), useWand = true))
+            (e, w)
+          }
+          (q10.map(_._1).min, q10.map(_._2).min, b10.min)
+        } finally { rmdir(scaleBase); System.gc() }
         sections("scale10") =
           f""""scale10":{"docs":$scaleDocs,"build_rounds":$buildRounds,"build_secs":$build10Sec%.2f,""" +
             f""""build_docs_per_sec":${scaleDocs / build10Sec}%.0f,""" +

@@ -275,10 +275,10 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
+    edges.unpersist() // before the require: a throw must not pin the cache
     require(changed == 0,
       s"dupClusters did not converge in $rounds rounds — component diameter " +
         "exceeds the guard; raise the bound or pre-shard the pair graph")
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 }
