@@ -450,6 +450,10 @@ object SparkEntry {
     "repetition" -> ((s, dir) =>
       TextOps.repetitionSignals(tbl(s, dir, "documents"))),
 
+    // cross-document duplicate 8-grams: per-doc shared-gram count/fraction
+    "cross_dup_grams" -> ((s, dir) =>
+      TextOps.crossDocDupGrams(tbl(s, dir, "documents"))),
+
     // training-mix accounting: per-(source,lang) doc/token counts + share
     "source_mix" -> ((s, dir) =>
       TextOps.sourceMix(tbl(s, dir, "documents"))),
@@ -807,23 +811,17 @@ object SparkEntry {
         |       WHEN 'src2' THEN '4000' ELSE '2000' END""".stripMargin,
 
     "dedup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
-        |s AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-        |      FROM t, unnest(generate_series(1, len(toks) - 2)) u(i) WHERE len(toks) >= 3),
-        |sd AS (SELECT DISTINCT doc_id, sh FROM s),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
-        |          FROM sd a JOIN sd b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pr AS (SELECT doc_a, doc_b FROM inter
-        |       JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-        |       WHERE ic::DOUBLE / (ca.n + cb.n - ic) >= 0.8),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-        |          UNION ALL SELECT doc_b, doc_a FROM pr),
-        |reach(id, lab) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
-        |SELECT id AS doc_id, min(lab) AS cluster_rep FROM reach GROUP BY 1""".stripMargin,
+      s"""WITH RECURSIVE $jaccardCteBody,
+         |pr AS (SELECT doc_a, doc_b FROM inter
+         |       JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+         |       WHERE ic::DOUBLE / (ca.n + cb.n - ic) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, min(lab) AS cluster_rep FROM reach GROUP BY 1""".stripMargin,
 
     "dedup_embedding" ->
       """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -887,6 +885,21 @@ object SparkEntry {
         |  round(coalesce((a3.c - a3.d)::DOUBLE / a3.c, 0), 4) AS dup_3gram_frac
         |FROM t LEFT JOIN a2 USING(doc_id) LEFT JOIN a3 USING(doc_id)""".stripMargin,
 
+    "cross_dup_grams" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        |      FROM t, unnest(generate_series(1, len(w) - 7)) u(i)),
+        |sh AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |per AS (SELECT doc_id, count(*)::BIGINT AS shared_grams
+        |        FROM g WHERE gram IN (SELECT gram FROM sh) GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*)::BIGINT AS total_grams FROM g GROUP BY 1)
+        |SELECT t.doc_id, coalesce(tot.total_grams, 0)::BIGINT AS total_grams,
+        |  coalesce(per.shared_grams, 0)::BIGINT AS shared_grams,
+        |  CASE WHEN coalesce(tot.total_grams, 0) > 0
+        |       THEN round(coalesce(per.shared_grams, 0)::DOUBLE / tot.total_grams, 4)
+        |       ELSE 0.0 END AS shared_frac
+        |FROM t LEFT JOIN per USING(doc_id) LEFT JOIN tot USING(doc_id)""".stripMargin,
+
     "source_mix" ->
       """WITH t AS (SELECT source, lang,
         |             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS toks
@@ -947,15 +960,21 @@ object SparkEntry {
         |length(props)::BIGINT AS byte_len, ascii(props) AS first_byte FROM events""".stripMargin
   )
 
-  private def jaccardOracle: String =
-    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+  /** 3-shingle exact-Jaccard CTE chain (t → s → sd → cnt → inter), shared
+    * by the pair oracles and the cluster oracle so shingle width and the
+    * 0.8 threshold live in ONE place. */
+  private def jaccardCteBody: String =
+    """t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
       |s AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
       |      FROM t, unnest(generate_series(1, len(toks) - 2)) u(i) WHERE len(toks) >= 3),
       |sd AS (SELECT DISTINCT doc_id, sh FROM s),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY 1),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
-      |          FROM sd a JOIN sd b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, round(ic::DOUBLE / (ca.n + cb.n - ic), 4) AS jac
-      |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-      |WHERE ic::DOUBLE / (ca.n + cb.n - ic) >= 0.8""".stripMargin
+      |          FROM sd a JOIN sd b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private def jaccardOracle: String =
+    s"""WITH $jaccardCteBody
+       |SELECT doc_a, doc_b, round(ic::DOUBLE / (ca.n + cb.n - ic), 4) AS jac
+       |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE ic::DOUBLE / (ca.n + cb.n - ic) >= 0.8""".stripMargin
 }

@@ -236,6 +236,42 @@ object TextOps {
     docs.select(col("doc_id"), (reason === "").as("keep"), reason.as("drop_reason"))
   }
 
+  /** Cross-document duplicate n-gram signal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): for every
+    * document, how many of its distinct word n-grams also occur in at least
+    * one OTHER document, and the fraction of its distinct grams those
+    * shared grams make up — the per-doc boilerplate load a span-dedup pass
+    * would remove. Completes the dup-measurement triangle: within-doc
+    * ([[repetitionSignals]]), train-vs-eval ([[contamination]]), and this —
+    * doc-vs-rest-of-corpus.
+    *
+    * Shape at 100 TB: grams are per-doc distinct BEFORE the explode, so the
+    * per-gram `count(*)` IS the distinct-doc count — no count_distinct, no
+    * per-gram doc lists (a collect_set would explode on boilerplate grams).
+    * The gram stream shuffles once into the per-gram aggregate; the probe
+    * side of the semi-join either broadcasts the shared set (small regime)
+    * or sort-merges on the same gram partitioning (corpus-scale regime,
+    * AQE's call) — never more than the aggregate + join + one per-doc agg.
+    * The gram STRING is the key here for oracle exactness; at petabyte
+    * scale the shuffle key would be a 128-bit gram fingerprint (64 bits
+    * birthday-collides above ~10^9 distinct grams). */
+  def crossDocDupGrams(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(wordGrams(col("text"), n))).as("gram"))
+    val shared = grams.groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val perDocShared = grams.join(shared, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+    val sharedCnt = coalesce(col("shared_grams"), lit(0L))
+    docs.select(col("doc_id"),
+        size(array_distinct(wordGrams(col("text"), n))).cast("long").as("total_grams"))
+      .join(perDocShared, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("total_grams"), sharedCnt.as("shared_grams"),
+        when(col("total_grams") > 0,
+          round(sharedCnt.cast("double") / col("total_grams"), 4))
+          .otherwise(lit(0.0)).as("shared_frac"))
+  }
+
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 

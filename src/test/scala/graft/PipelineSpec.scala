@@ -227,6 +227,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(3L) == ((0.0, 0.0)))
   }
 
+  test("cross-doc dup grams: shared 8-gram counts and fraction") {
+    // docs 1 and 2 share one 8-token run ("c1..c8"); doc 3 shares nothing;
+    // doc 4 is shorter than 8 tokens (zero grams); doc 5 repeats the run
+    // WITHIN itself only — within-doc repeats must not count as shared
+    val run = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val d = Seq(
+      (1L, s"a1 a2 $run a3"),          // 4 grams, 1 shared
+      (2L, s"$run b1 b2 b3"),          // 4 grams, 1 shared
+      (3L, "d1 d2 d3 d4 d5 d6 d7 d8 d9"), // 2 grams, 0 shared
+      (4L, "e1 e2 e3"),                // 0 grams
+      (5L, "f0 f0 f0 f0 f0 f0 f0 f0 f0")) // 2 windows, 1 distinct gram
+      .toDF("doc_id", "text")
+    val m = TextOps.crossDocDupGrams(d, n = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(m(1L) == ((4L, 1L, 0.25)))
+    assert(m(2L) == ((4L, 1L, 0.25)))
+    assert(m(3L) == ((2L, 0L, 0.0)))
+    assert(m(4L) == ((0L, 0L, 0.0)))
+    assert(m(5L) == ((1L, 0L, 0.0))) // "f0"x8 distinct-once, no other doc has it
+  }
+
   test("contamination counts eval-overlapping distinct grams per train doc") {
     // doc 0 is "eval" (id % 50 == 0); doc 1 shares its first five tokens
     // with doc 0 (one overlapping 5-gram after distinct), doc 2 shares none

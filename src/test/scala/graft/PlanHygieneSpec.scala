@@ -48,6 +48,18 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!semiLine.contains("BroadcastHashJoin"), s"eval side still broadcast:\n$p")
   }
 
+  test("cross_dup_grams: partial-agg gram count, semi-join, no doc lists") {
+    val p = plan(pipeline.TextOps.crossDocDupGrams(docs))
+    assert(p.contains("partial"), p) // map-side combine on the gram key
+    assert(p.contains("LeftSemi"), p)
+    // the scale guarantee: never a per-gram doc list and never a window
+    assert(!p.contains("collect_set") && !p.contains("collect_list"), p)
+    assert(!p.contains("Window"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"cross_dup_grams reads unused columns: $readSchema")
+  }
+
   test("source_mix aggregates with partial aggregation and broadcasts the total") {
     val p = plan(pipeline.TextOps.sourceMix(docs))
     assert(p.contains("partial"), p) // map-side combine before the shuffle
