@@ -454,6 +454,10 @@ object SparkEntry {
     "cross_dup_grams" -> ((s, dir) =>
       TextOps.crossDocDupGrams(tbl(s, dir, "documents"))),
 
+    // maximal cross-doc duplicated token spans (one row per span)
+    "dup_spans" -> ((s, dir) =>
+      TextOps.crossDocDupSpans(tbl(s, dir, "documents"))),
+
     // training-mix accounting: per-(source,lang) doc/token counts + share
     "source_mix" -> ((s, dir) =>
       TextOps.sourceMix(tbl(s, dir, "documents"))),
@@ -899,6 +903,19 @@ object SparkEntry {
         |       THEN round(coalesce(per.shared_grams, 0)::DOUBLE / tot.total_grams, 4)
         |       ELSE 0.0 END AS shared_frac
         |FROM t LEFT JOIN per USING(doc_id) LEFT JOIN tot USING(doc_id)""".stripMargin,
+
+    "dup_spans" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS gram
+        |      FROM t, unnest(generate_series(1, len(w) - 7)) u(i)),
+        |sd AS (SELECT DISTINCT doc_id, gram FROM g),
+        |sh AS (SELECT gram FROM sd GROUP BY gram HAVING count(*) >= 2),
+        |h AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM sh)),
+        |i AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM h)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 7)::BIGINT AS span_end,
+        |  (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_tokens
+        |FROM i GROUP BY doc_id, grp""".stripMargin,
 
     "source_mix" ->
       """WITH t AS (SELECT source, lang,

@@ -272,6 +272,39 @@ object TextOps {
           .otherwise(lit(0.0)).as("shared_frac"))
   }
 
+  /** Maximal cross-document duplicated token spans — the "what to cut"
+    * complement of [[crossDocDupGrams]]'s per-doc load number. A token
+    * position starts a duplicated gram when the n-gram beginning there
+    * also occurs in at least one other document; maximal runs of
+    * consecutive duplicated gram starts [a..b] merge into one span of
+    * tokens [a, b+n-1] (1-based, inclusive) — exactly the spans a Lee et
+    * al. 2022 span-dedup pass would excise. Emits one row per span.
+    *
+    * Shape at 100 TB: the shared-gram set is built per-doc-distinct (same
+    * trick as [[crossDocDupGrams]]); positions survive on the probe side
+    * only. The islands step is a window partitioned BY DOCUMENT — state is
+    * one doc's hit list, never corpus-scale, so the sort inside each
+    * partition is bounded by doc length and skew is impossible by
+    * construction. */
+  def crossDocDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gramsPos = docs.select(col("doc_id"),
+      posexplode(wordGrams(col("text"), n)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("gram"))
+    val shared = gramsPos.select(col("doc_id"), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val hits = gramsPos.join(shared, Seq("gram"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits.select(col("doc_id"), col("pos"),
+        (col("pos") - row_number().over(w)).as("grp"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 

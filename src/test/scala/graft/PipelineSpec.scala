@@ -250,6 +250,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(5L) == ((1L, 0L, 0.0))) // "f0"x8 distinct-once, no other doc has it
   }
 
+  test("cross-doc dup spans: maximal runs merge, disjoint repeats split") {
+    val run8 = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val run10 = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    val d = Seq(
+      (1L, s"a1 a2 $run8 a3"),              // one shared gram start at 3
+      (2L, s"$run8 z1 z2 z3 $run8"),        // SAME shared run at 1 and 12
+      (6L, s"x $run10"),                    // 3 consecutive starts -> 1 span
+      (7L, s"$run10 y"))
+      .toDF("doc_id", "text")
+    val got = TextOps.crossDocDupSpans(d, n = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 10L, 8L),
+      (2L, 1L, 8L, 8L), (2L, 12L, 19L, 8L), // disjoint repeats stay split
+      (6L, 2L, 11L, 10L),                   // c1..c10 merged into one span
+      (7L, 1L, 10L, 10L)))
+  }
+
+  test("cross-doc dup spans + grams: fuzz vs local reference") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("t0", "t1", "t2", "t3", "t4")
+    val n = 3
+    for (round <- 1 to 25) {
+      val docsLocal = (1L to (2 + rnd.nextInt(6)).toLong).map { id =>
+        id -> Vector.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+      }
+      def gramsOf(toks: Vector[String]): Seq[(Int, String)] =
+        (0 to toks.length - n).map(i => (i + 1, toks.slice(i, i + n).mkString(" ")))
+      val perDoc = docsLocal.map { case (id, toks) => id -> gramsOf(toks) }
+      val shared = perDoc.flatMap { case (id, gs) => gs.map(g => (g._2, id)) }
+        .distinct.groupBy(_._1).collect { case (g, xs) if xs.size >= 2 => g }.toSet
+      val expSpans = perDoc.flatMap { case (id, gs) =>
+        val hits = gs.collect { case (p, g) if shared(g) => p }.sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var s = -1; var prev = -2
+        def close(): Unit = if (s >= 0) {
+          val e = prev + n - 1
+          spans += ((id, s.toLong, e.toLong, (e - s + 1).toLong))
+        }
+        for (p <- hits) { if (p != prev + 1) { close(); s = p }; prev = p }
+        close()
+        spans
+      }.toSet
+      val expGrams = perDoc.map { case (id, gs) =>
+        val dist = gs.map(_._2).distinct
+        (id, dist.size.toLong, dist.count(shared).toLong)
+      }.toSet
+      val df = docsLocal.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val gotSpans = TextOps.crossDocDupSpans(df, n)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(gotSpans == expSpans, s"spans diverged in round $round")
+      val gotGrams = TextOps.crossDocDupGrams(df, n)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2, r._3)).toSet
+      assert(gotGrams == expGrams, s"gram counts diverged in round $round")
+    }
+  }
+
   test("contamination counts eval-overlapping distinct grams per train doc") {
     // doc 0 is "eval" (id % 50 == 0); doc 1 shares its first five tokens
     // with doc 0 (one overlapping 5-gram after distinct), doc 2 shares none
