@@ -19,6 +19,9 @@ object SparkEntry {
   private val ivfCentroids =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
+  private val pqBooks =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -422,6 +425,13 @@ object SparkEntry {
       Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 5, trained = Some(cs))
     }),
 
+    "ann_pq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      // codebooks cached per table — trained once at index build at scale
+      val bs = pqBooks.getOrElseUpdate(dir, Ann.trainPq(e))
+      Ann.pqTopK(e, e.filter(col("vec_id") < 5), k = 5, trained = Some(bs))
+    }),
+
     // recall@5 of the approximate ANN paths against the exact brute force —
     // dual-implementation agreement as a committed, deterministic number
     // (seeds fixed), replacing the bare no-oracle rows with a quality signal
@@ -438,6 +448,14 @@ object SparkEntry {
       val cs = ivfCentroids.getOrElseUpdate(dir, Ann.trainIvf(e))
       Ann.recallAtK(Ann.bruteForceTopK(e, q, k = 5),
         Ann.ivfTopK(e, q, k = 5, trained = Some(cs)), k = 5)
+    }),
+
+    "ann_pq_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val bs = pqBooks.getOrElseUpdate(dir, Ann.trainPq(e))
+      Ann.recallAtK(Ann.bruteForceTopK(e, q, k = 5),
+        Ann.pqTopK(e, q, k = 5, trained = Some(bs)), k = 5)
     }),
 
     // -- text analysis

@@ -225,6 +225,126 @@ object Ann {
     centroids
   }
 
+  /** Per-subspace code assignment: argmin over the codebook of the L2
+    * distance to the subvector — computed as ‖c‖² − 2·dot(x,c) (the ‖x‖²
+    * term is constant per row, so it can't change the argmin). Codegen'd
+    * expression over literal codeword arrays, like [[assignExpr]]. */
+  private def assignSubExpr(book: Array[Array[Double]], sub: Column): Column = {
+    val scores = array(book.map { c =>
+      val dot = aggregate(zip_with(sub, typedLit(c.toSeq),
+        (x, cc) => x.cast("double") * cc), lit(0.0), (a, x) => a + x)
+      lit(c.map(v => v * v).sum) - lit(2.0) * dot
+    }: _*)
+    (array_position(scores, array_min(scores)) - 1).cast("int")
+  }
+
+  /** Train a product quantizer (Jégou et al., TPAMI'11): split the vector
+    * into `m` subspaces of dim/m dims and run an independent deterministic
+    * Lloyd per subspace on a bounded [[trainingSample]]. Returns the
+    * codebooks as [subspace][codeword][subdim] — m × codewords × dim/m
+    * doubles, tiny on the driver, and at corpus scale trained ONCE at
+    * index build and shipped with the index (same rule as [[trainIvf]]:
+    * training cost scales with the codebook being fitted, never the
+    * corpus). */
+  def trainPq(embeddings: DataFrame, m: Int = 16, codewords: Int = 32,
+      iters: Int = 4, dim: Int = 64,
+      maxTrain: Long = 262144L): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim not divisible into m=$m subspaces")
+    val d0 = dim / m
+    val train = trainingSample(embeddings, maxTrain)
+    // init: subvectors of the `codewords` lowest-id sample vectors
+    val seed = train.orderBy("vec_id").limit(codewords)
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seed.map(_.slice(s * d0, s * d0 + d0)))
+    var it = 0
+    while (it < iters) {
+      // ALL subspaces update in ONE job per iteration: explode per-subspace
+      // (s, code, subvector) structs, then a single (s, code, pos) mean —
+      // Lloyd cost stays iters jobs, not iters × m
+      val perSub = (0 until m).map { s =>
+        val sub = slice(col("embedding"), s * d0 + 1, d0)
+        struct(lit(s).as("s"), assignSubExpr(books(s), sub).as("code"), sub.as("v"))
+      }
+      val means = train.select(explode(array(perSub: _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.code").as("code"),
+          posexplode(col("e.v")).as(Seq("pos", "x")))
+        .groupBy("s", "code", "pos").agg(avg(col("x").cast("double")).as("mean"))
+        .collect()
+      val next = books.map(_.map(_.clone())) // empty cells keep their codeword
+      means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      books = next
+      it += 1
+    }
+    books
+  }
+
+  /** PQ code array (m small ints) for each vector — the 100 TB-resident
+    * compact index: m bytes/vector at codewords ≤ 256 versus dim floats. */
+  private[graft] def pqCodeExpr(books: Array[Array[Array[Double]]], d0: Int): Column =
+    array(books.indices.map { s =>
+      assignSubExpr(books(s), slice(col("embedding"), s * d0 + 1, d0))
+    }: _*)
+
+  /** ANN via product quantization with asymmetric-distance scoring and
+    * exact re-ranking: the corpus is scanned as PQ CODES only (one shuffle-
+    * free pass; per row the approximate cosine is m table lookups via
+    * `zip_with(codes, lut, element_at)` instead of dim multiplies — and at
+    * scale the codes table is the only thing resident, dim/m·4× smaller
+    * than the vectors). Per query, the lookup table dot(q_s, c_{s,j}) is
+    * computed driver-side (m × codewords doubles) and broadcast; the
+    * reconstructed-norm table is query-independent. The top k·`refine`
+    * by approximate score are then re-ranked by exact cosine against the
+    * fetched vectors (ADC + refinement, the standard IVFPQ recipe), so the
+    * emitted sims are exact and directly comparable to [[bruteForceTopK]].
+    * Recall < 1 by construction — report via [[recallAtK]] like LSH/IVF. */
+  def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      dim: Int = 64, m: Int = 16, codewords: Int = 32, refine: Int = 8,
+      trained: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val books = trained.getOrElse(trainPq(embeddings, m, codewords, dim = dim))
+    val d0 = dim / m
+    val codes = embeddings.select(col("vec_id"), pqCodeExpr(books, d0).as("codes"))
+    // query-independent reconstructed squared norms per (subspace, codeword)
+    val norm2: Seq[Seq[Double]] =
+      books.map(_.map(c => c.map(v => v * v).sum).toSeq).toSeq
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val luts = qRows.map { case (qid, qv) =>
+      val lut: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
+        book.map { c =>
+          var d = 0.0; var i = 0
+          while (i < d0) { d += qv(s * d0 + i) * c(i); i += 1 }
+          d
+        }.toSeq
+      }.toSeq
+      (qid, lut, math.sqrt(qv.map(v => v * v).sum))
+    }.toSeq
+    import spark.implicits._
+    val qDf = luts.toDF("query_id", "lut", "qnorm")
+    def lookupSum(table: Column): Column =
+      aggregate(zip_with(col("codes"), table,
+        (cd, row) => element_at(row, cd + 1)), lit(0.0), (a, x) => a + x)
+    val scored = codes.join(broadcast(qDf), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (lookupSum(col("lut")) /
+          (col("qnorm") * sqrt(lookupSum(typedLit(norm2))))).as("approx"))
+    val w0 = Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cand = scored.withColumn("r0", row_number().over(w0))
+      .filter(col("r0") <= k * refine)
+      .select("query_id", "neighbor_id")
+    val exact = cand
+      .join(embeddings.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
   /** ANN via an IVF (inverted-file) coarse quantizer — the other standard
     * scale path next to [[lshTopK]]: k-means centroids partition the
     * corpus into `clusters` cells; a query scans only its `nprobe` nearest

@@ -83,6 +83,12 @@ class PipelineSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivf == brute, s"IVF missed planted neighbors: $ivf")
 
+    // PQ with exact re-ranking recovers the planted neighbors too: the
+    // copy's codes match its base's, so it survives the ADC cut
+    val pq = Ann.pqTopK(emb, q, k = 1, dim = 16, m = 4, codewords = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq == brute, s"PQ missed planted neighbors: $pq")
+
     // embedding near-dup pairs: every planted copy pairs with its base at
     // cos >= 0.95, and nothing else does
     val pairs = Dedup.embeddingPairs(emb, minCos = 0.95, dim = 16, bits = 6, tables = 8)
@@ -189,10 +195,14 @@ class PipelineSpec extends AnyFunSuite {
     val ivfRec = Ann.recallAtK(exact,
         Ann.ivfTopK(emb, q, k = 3, dim = 16, clusters = 8, nprobe = 4), k = 3)
       .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    val pqRec = Ann.recallAtK(exact,
+        Ann.pqTopK(emb, q, k = 3, dim = 16, m = 4, codewords = 8), k = 3)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
     // multi-table LSH at 8 tables and IVF at nprobe=4/8 both recover the
     // full exact top-3 on the planted-cluster corpus (deterministic seeds)
     assert(lshRec.size == 3 && lshRec.values.forall(_ >= 1.0), s"LSH recall: $lshRec")
     assert(ivfRec.size == 3 && ivfRec.values.forall(_ >= 2.0 / 3), s"IVF recall: $ivfRec")
+    assert(pqRec.size == 3 && pqRec.values.forall(_ >= 2.0 / 3), s"PQ recall: $pqRec")
   }
 
   test("multimodal stub: deterministic checksums over binary payloads") {
