@@ -476,6 +476,10 @@ object SparkEntry {
     "dup_spans" -> ((s, dir) =>
       TextOps.crossDocDupSpans(tbl(s, dir, "documents"))),
 
+    // span-dedup applied: delete covered tokens, emit count + scrubbed md5
+    "dup_span_scrub" -> ((s, dir) =>
+      TextOps.scrubDupSpans(tbl(s, dir, "documents"))),
+
     // training-mix accounting: per-(source,lang) doc/token counts + share
     "source_mix" -> ((s, dir) =>
       TextOps.sourceMix(tbl(s, dir, "documents"))),
@@ -923,17 +927,25 @@ object SparkEntry {
         |FROM t LEFT JOIN per USING(doc_id) LEFT JOIN tot USING(doc_id)""".stripMargin,
 
     "dup_spans" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
-        |g AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS gram
-        |      FROM t, unnest(generate_series(1, len(w) - 7)) u(i)),
-        |sd AS (SELECT DISTINCT doc_id, gram FROM g),
-        |sh AS (SELECT gram FROM sd GROUP BY gram HAVING count(*) >= 2),
-        |h AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM sh)),
-        |i AS (SELECT doc_id, pos,
-        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM h)
-        |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 7)::BIGINT AS span_end,
-        |  (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_tokens
-        |FROM i GROUP BY doc_id, grp""".stripMargin,
+      s"""WITH $dupSpanCteBody
+         |SELECT doc_id, span_start::BIGINT AS span_start, span_end::BIGINT AS span_end,
+         |  (span_end - span_start + 1)::BIGINT AS span_tokens
+         |FROM spans""".stripMargin,
+
+    "dup_span_scrub" ->
+      s"""WITH $dupSpanCteBody,
+         |cov AS (SELECT doc_id, u.p AS pos
+         |        FROM spans, unnest(generate_series(span_start, span_end)) u(p)),
+         |tok AS (SELECT doc_id, i AS pos, w[i] AS tok
+         |        FROM t, unnest(generate_series(1, len(w))) u(i)),
+         |kept AS (SELECT doc_id, pos, tok FROM tok ANTI JOIN cov USING (doc_id, pos)),
+         |reb AS (SELECT doc_id, count(*)::BIGINT AS kept_n,
+         |               string_agg(tok, ' ' ORDER BY pos) AS s
+         |        FROM kept GROUP BY 1)
+         |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+         |  (len(t.w) - coalesce(reb.kept_n, 0))::BIGINT AS removed_tokens,
+         |  md5(coalesce(reb.s, '')) AS scrubbed_md5
+         |FROM t LEFT JOIN reb USING (doc_id)""".stripMargin,
 
     "source_mix" ->
       """WITH t AS (SELECT source, lang,
@@ -1006,6 +1018,21 @@ object SparkEntry {
       |cnt AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY 1),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
       |          FROM sd a JOIN sd b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** Cross-doc duplicated-8-gram span chain (t → g → sd → sh → h → i →
+    * spans), shared by the span listing and the scrub oracle so gram width
+    * and the islands logic live in ONE place. */
+  private def dupSpanCteBody: String =
+    """t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+      |g AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      |      FROM t, unnest(generate_series(1, len(w) - 7)) u(i)),
+      |sd AS (SELECT DISTINCT doc_id, gram FROM g),
+      |sh AS (SELECT gram FROM sd GROUP BY gram HAVING count(*) >= 2),
+      |h AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM sh)),
+      |i AS (SELECT doc_id, pos,
+      |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM h),
+      |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+      |          FROM i GROUP BY doc_id, grp)""".stripMargin
 
   private def jaccardOracle: String =
     s"""WITH $jaccardCteBody

@@ -305,6 +305,33 @@ object TextOps {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Apply the span-dedup cut: delete every token covered by a
+    * [[crossDocDupSpans]] span and re-emit the document (as a count plus an
+    * md5 of the scrubbed text, [[piiScrub]]-style — the driver compare
+    * never ships full text). Tokens keep their original order via an
+    * array_sort over (pos, token) structs inside the per-doc aggregate —
+    * per-group state is one document's kept tokens, so the rebuild is as
+    * skew-proof as the islands step. Spans are maximal and therefore
+    * disjoint per doc, so covered positions need no dedup. */
+  def scrubDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val covered = crossDocDupSpans(docs, n).select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("scrubbed"))
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept"), lit(0L))).as("removed_tokens"),
+        md5(coalesce(col("scrubbed"), lit(""))).as("scrubbed_md5"))
+  }
+
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 

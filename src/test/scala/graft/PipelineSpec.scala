@@ -276,6 +276,18 @@ class PipelineSpec extends AnyFunSuite {
       (2L, 1L, 8L, 8L), (2L, 12L, 19L, 8L), // disjoint repeats stay split
       (6L, 2L, 11L, 10L),                   // c1..c10 merged into one span
       (7L, 1L, 10L, 10L)))
+
+    // applying the cut removes exactly the covered tokens, in order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val scrub = TextOps.scrubDupSpans(d, n = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(scrub(1L) == ((11L, 8L, md5hex("a1 a2 a3"))))
+    assert(scrub(2L) == ((19L, 16L, md5hex("z1 z2 z3"))))
+    assert(scrub(6L) == ((11L, 10L, md5hex("x"))))
+    assert(scrub(7L) == ((11L, 10L, md5hex("y"))))
   }
 
   test("cross-doc dup spans + grams: fuzz vs local reference") {
@@ -316,6 +328,23 @@ class PipelineSpec extends AnyFunSuite {
         .as[(Long, Long, Long, Double)].collect()
         .map(r => (r._1, r._2, r._3)).toSet
       assert(gotGrams == expGrams, s"gram counts diverged in round $round")
+      // the scrub removes exactly the covered positions, order preserved
+      val expScrub = docsLocal.map { case (id, toks) =>
+        val covered = expSpans.collect {
+          case (d2, s2, e2, _) if d2 == id => (s2 to e2)
+        }.flatten.toSet
+        val kept = toks.zipWithIndex.collect {
+          case (tk, ix) if !covered(ix + 1L) => tk
+        }
+        (id, toks.length.toLong, covered.size.toLong, kept.mkString(" "))
+      }.toSet
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val gotScrub = TextOps.scrubDupSpans(df, n)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(gotScrub == expScrub.map(e => (e._1, e._2, e._3, md5hex(e._4))),
+        s"scrub diverged in round $round")
     }
   }
 
