@@ -77,6 +77,83 @@ object StreamOps {
       }
   }
 
+  /** Local twin of the batch `Dedup.simHash` expression — BIT-IDENTICAL:
+    * per whitespace token (empties dropped), xxhash64 with Spark's seed 42;
+    * per bit, the sign of the vote sum (ties → 0). Pinned against the
+    * batch column in StreamingSpec. */
+  private[graft] def simHash64(text: String): Long = {
+    val votes = new Array[Long](64)
+    text.split(" ").foreach { t =>
+      if (t.nonEmpty) {
+        val b = t.getBytes("UTF-8")
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+          j += 1
+        }
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0L) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  final case class NearDupPair(url: String, firstUrl: String, dist: Int)
+  final case class BucketState(firstUrl: String, fp: Long)
+
+  /** Streaming NEAR-dup detection across all micro-batches — the
+    * approximate sibling of [[dedupStream]]'s exact fingerprint filter:
+    * each page's 64-bit SimHash splits into four 16-bit chunks (any pair
+    * within Hamming distance ≤ 3 shares at least one chunk — the same
+    * banding as the batch `Dedup.simHashPairs`), each chunk bucket keeps
+    * the FIRST page it saw (url + full fingerprint, one tiny record per
+    * distinct bucket, sharded by bucket hash — bounded like the exact
+    * seen-set), and a later page whose full fingerprint sits within
+    * `maxDist` of its bucket's representative emits a pair.
+    *
+    * Approximation contract, stated plainly: pairs are detected against
+    * bucket REPRESENTATIVES only (two later pages that match each other
+    * but not their bucket's first page are missed), and the same pair can
+    * emit from up to 4 chunks (consumers dedup on (url, firstUrl) or
+    * route through the batch verifier). Exact-recall near-dup over a
+    * bounded window belongs to the batch path; this is the unbounded-
+    * stream suppressor. */
+  def nearDupPairsStream(pages: Dataset[Page], maxDist: Int = 3): Dataset[NearDupPair] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .flatMap { p =>
+        val fp = simHash64(p.text)
+        (0 until 4).map { c =>
+          ((c.toLong << 16) | ((fp >>> (16 * c)) & 0xffffL), p.url, fp)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[BucketState]) =>
+          // lexicographic order makes the representative deterministic
+          // under batch reordering, like dedupStream
+          val batch = rows.toSeq.sortBy(_._2)
+          val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
+          var st = state.getOption
+          batch.foreach { case (_, url, fp) =>
+            st match {
+              case None => st = Some(BucketState(url, fp))
+              case Some(s) if url != s.firstUrl =>
+                val d = java.lang.Long.bitCount(s.fp ^ fp)
+                if (d <= maxDist) out += NearDupPair(url, s.firstUrl, d)
+              case _ => ()
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class Event(userId: Long, ts: Timestamp)
   final case class SessionState(start: Long, end: Long, events: Int)
   final case class Session(userId: Long, startMs: Long, endMs: Long,

@@ -192,6 +192,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs: SimHash chunk buckets across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    import graft.pipeline.Dedup
+    implicit val sqlCtx = spark.sqlContext
+
+    // the stream-side fingerprint is bit-identical to the batch expression
+    val texts = Seq("hello world foo", "a b a  b", "", "unicode éü tokens")
+    val batchFps = Dedup.simHash(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(StreamOps.simHash64(t) == batchFps(i.toLong), s"fp diverged for '$t'")
+    }
+
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 59).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    // deterministic: one changed token out of 60 lands at Hamming 2
+    val dNear = java.lang.Long.bitCount(
+      StreamOps.simHash64(base) ^ StreamOps.simHash64(near))
+    assert(dNear == 2, s"fixture drifted: dNear=$dNear")
+
+    val in = MemoryStream[StreamOps.Page]
+    val q = StreamOps.nearDupPairsStream(in.toDS(), maxDist = 3).writeStream
+      .format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      in.addData(StreamOps.Page("u1", base),
+        StreamOps.Page("u2", "altogether unrelated page about entirely other things"))
+      q.processAllAvailable()
+      in.addData(StreamOps.Page("u3", near), StreamOps.Page("u4", base))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup").as[StreamOps.NearDupPair].collect()
+        .map(p => (p.url, p.firstUrl, p.dist)).distinct.toSet
+      // u3 pairs with the cross-batch representative at its true distance;
+      // u4 is an exact cross-batch dup; unrelated u2 pairs with nothing
+      assert(pairs == Set(("u3", "u1", 2), ("u4", "u1", 0)), pairs.toSeq)
+    } finally q.stop()
+  }
+
   test("sessionize survives an event older than the watermark (timeout clamp)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
