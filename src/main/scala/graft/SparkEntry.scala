@@ -432,6 +432,16 @@ object SparkEntry {
       Ann.pqTopK(e, e.filter(col("vec_id") < 5), k = 5, trained = Some(bs))
     }),
 
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val cs = ivfCentroids.getOrElseUpdate(dir, Ann.trainIvf(e))
+      val bs = pqBooks.getOrElseUpdate(dir, Ann.trainPq(e))
+      // nprobe=6: the cell pruning and the PQ distortion COMPOUND, so the
+      // composition probes wider than plain IVF's nprobe=4 default
+      Ann.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 5, nprobe = 6,
+        trainedIvf = Some(cs), trainedPq = Some(bs))
+    }),
+
     // recall@5 of the approximate ANN paths against the exact brute force —
     // dual-implementation agreement as a committed, deterministic number
     // (seeds fixed), replacing the bare no-oracle rows with a quality signal
@@ -456,6 +466,16 @@ object SparkEntry {
       val bs = pqBooks.getOrElseUpdate(dir, Ann.trainPq(e))
       Ann.recallAtK(Ann.bruteForceTopK(e, q, k = 5),
         Ann.pqTopK(e, q, k = 5, trained = Some(bs)), k = 5)
+    }),
+
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val cs = ivfCentroids.getOrElseUpdate(dir, Ann.trainIvf(e))
+      val bs = pqBooks.getOrElseUpdate(dir, Ann.trainPq(e))
+      Ann.recallAtK(Ann.bruteForceTopK(e, q, k = 5),
+        Ann.ivfPqTopK(e, q, k = 5, nprobe = 6,
+          trainedIvf = Some(cs), trainedPq = Some(bs)), k = 5)
     }),
 
     // -- text analysis

@@ -298,19 +298,14 @@ object Ann {
     * fetched vectors (ADC + refinement, the standard IVFPQ recipe), so the
     * emitted sims are exact and directly comparable to [[bruteForceTopK]].
     * Recall < 1 by construction — report via [[recallAtK]] like LSH/IVF. */
-  def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
-      dim: Int = 64, m: Int = 16, codewords: Int = 32, refine: Int = 8,
-      trained: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
-    val spark = embeddings.sparkSession
-    val books = trained.getOrElse(trainPq(embeddings, m, codewords, dim = dim))
-    val d0 = dim / m
-    val codes = embeddings.select(col("vec_id"), pqCodeExpr(books, d0).as("codes"))
-    // query-independent reconstructed squared norms per (subspace, codeword)
-    val norm2: Seq[Seq[Double]] =
-      books.map(_.map(c => c.map(v => v * v).sum).toSeq).toSeq
+  /** Per-query ADC lookup tables dot(q_s, c_{s,j}) plus the exact query
+    * norm — driver-side, m × codewords doubles per query (the query set is
+    * the small broadcast side by construction). */
+  private def adcLuts(books: Array[Array[Array[Double]]], d0: Int,
+      queries: DataFrame): Seq[(Long, Seq[Seq[Double]], Double)] = {
     val qRows = queries.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-    val luts = qRows.map { case (qid, qv) =>
+    qRows.map { case (qid, qv) =>
       val lut: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
         book.map { c =>
           var d = 0.0; var i = 0
@@ -320,15 +315,23 @@ object Ann {
       }.toSeq
       (qid, lut, math.sqrt(qv.map(v => v * v).sum))
     }.toSeq
-    import spark.implicits._
-    val qDf = luts.toDF("query_id", "lut", "qnorm")
+  }
+
+  /** Approximate cosine from PQ codes: Σ_s lut[s][code_s] over the query
+    * LUT column, normalized by the exact query norm and the reconstructed
+    * vector norm (query-independent `norm2` table). */
+  private def adcCosine(norm2: Seq[Seq[Double]]): Column = {
     def lookupSum(table: Column): Column =
       aggregate(zip_with(col("codes"), table,
         (cd, row) => element_at(row, cd + 1)), lit(0.0), (a, x) => a + x)
-    val scored = codes.join(broadcast(qDf), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (lookupSum(col("lut")) /
-          (col("qnorm") * sqrt(lookupSum(typedLit(norm2))))).as("approx"))
+    lookupSum(col("lut")) / (col("qnorm") * sqrt(lookupSum(typedLit(norm2))))
+  }
+
+  /** Take the approx top k·refine per query, then re-rank by exact cosine
+    * against the fetched vectors — the ADC + refinement tail shared by
+    * [[pqTopK]] and [[ivfPqTopK]]. */
+  private def refineExact(scored: DataFrame, embeddings: DataFrame,
+      queries: DataFrame, k: Int, refine: Int): DataFrame = {
     val w0 = Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id").asc)
     val cand = scored.withColumn("r0", row_number().over(w0))
       .filter(col("r0") <= k * refine)
@@ -343,6 +346,67 @@ object Ann {
     exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      dim: Int = 64, m: Int = 16, codewords: Int = 32, refine: Int = 8,
+      trained: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val books = trained.getOrElse(trainPq(embeddings, m, codewords, dim = dim))
+    val d0 = dim / m
+    val codes = embeddings.select(col("vec_id"), pqCodeExpr(books, d0).as("codes"))
+    // query-independent reconstructed squared norms per (subspace, codeword)
+    val norm2: Seq[Seq[Double]] =
+      books.map(_.map(c => c.map(v => v * v).sum).toSeq).toSeq
+    import spark.implicits._
+    val qDf = adcLuts(books, d0, queries).toDF("query_id", "lut", "qnorm")
+    val scored = codes.join(broadcast(qDf), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcCosine(norm2).as("approx"))
+    refineExact(scored, embeddings, queries, k, refine)
+  }
+
+  /** IVF-PQ: the coarse quantizer prunes the scan to `nprobe` cells and PQ
+    * codes compress what remains — the standard billion-vector composition
+    * (the resident index row is cell id + m code bytes; raw vectors are
+    * only fetched for the k·refine exact re-rank). This is the flat-PQ
+    * variant (codes quantize the raw vector, not the cell residual — one
+    * shared codebook instead of per-cell ones; documented trade-off:
+    * simpler index, slightly coarser ADC). Trains both quantizers on the
+    * bounded sample when not supplied pre-trained. */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+      dim: Int = 64, clusters: Int = 16, nprobe: Int = 4,
+      m: Int = 16, codewords: Int = 32, refine: Int = 8,
+      trainedIvf: Option[Array[Array[Double]]] = None,
+      trainedPq: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroids = trainedIvf.getOrElse(trainIvf(embeddings, clusters))
+    val books = trainedPq.getOrElse(trainPq(embeddings, m, codewords, dim = dim))
+    val d0 = dim / m
+    val coded = embeddings.select(col("vec_id"), assignExpr(centroids).as("cluster"),
+      pqCodeExpr(books, d0).as("codes"))
+    val norm2: Seq[Seq[Double]] =
+      books.map(_.map(c => c.map(v => v * v).sum).toSeq).toSeq
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val probes = qRows.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex.map { case (c, ci) => (qid, ci, cos(qv, c)) }
+        .sortBy(-_._3).take(nprobe).map(p => (p._1, p._2))
+    }.toSeq
+    import spark.implicits._
+    val probeDf = probes.toDF("query_id", "cluster")
+    val qDf = adcLuts(books, d0, queries).toDF("query_id", "lut", "qnorm")
+    val scored = coded.join(broadcast(probeDf), "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qDf), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcCosine(norm2).as("approx"))
+    refineExact(scored, embeddings, queries, k, refine)
   }
 
   /** ANN via an IVF (inverted-file) coarse quantizer — the other standard

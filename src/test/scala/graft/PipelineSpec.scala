@@ -89,6 +89,11 @@ class PipelineSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(pq == brute, s"PQ missed planted neighbors: $pq")
 
+    val ivfpq = Ann.ivfPqTopK(emb, q, k = 1, dim = 16, clusters = 8, nprobe = 4,
+        m = 4, codewords = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq == brute, s"IVF-PQ missed planted neighbors: $ivfpq")
+
     // embedding near-dup pairs: every planted copy pairs with its base at
     // cos >= 0.95, and nothing else does
     val pairs = Dedup.embeddingPairs(emb, minCos = 0.95, dim = 16, bits = 6, tables = 8)
