@@ -488,6 +488,24 @@ object SparkEntry {
     "repetition" -> ((s, dir) =>
       TextOps.repetitionSignals(tbl(s, dir, "documents"))),
 
+    // unigram-LM quality: mean -ln p(token) under the corpus's own top-V
+    // unigram model with an OOV floor of 1/N — the CCNet perplexity-filter
+    // shape with a closed-form, oracle-exact model (V=16 so the synthetic
+    // 31-token vocabulary actually exercises the OOV path)
+    "lm_quality" -> ((s, dir) =>
+      TextOps.lmQuality(tbl(s, dir, "documents"), vocabSize = 16)),
+
+    // per-doc top-3 keywords by tf*ln(N/df), deterministic tie-break
+    "keyword_extract" -> ((s, dir) =>
+      TextOps.keywordExtract(tbl(s, dir, "documents"), k = 3)),
+
+    // code-point Shannon entropy per doc via the native codegen
+    // char_entropy expression — narrow map, no per-character shuffle
+    "char_entropy" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        round(graft.functions.CharEntropy.charEntropy(col("text")), 4)
+          .as("char_entropy"))),
+
     // cross-document duplicate 8-grams: per-doc shared-gram count/fraction
     "cross_dup_grams" -> ((s, dir) =>
       TextOps.crossDocDupGrams(tbl(s, dir, "documents"))),
@@ -930,6 +948,42 @@ object SparkEntry {
         |  round(coalesce((a2.c - a2.d)::DOUBLE / a2.c, 0), 4) AS dup_2gram_frac,
         |  round(coalesce((a3.c - a3.d)::DOUBLE / a3.c, 0), 4) AS dup_3gram_frac
         |FROM t LEFT JOIN a2 USING(doc_id) LEFT JOIN a3 USING(doc_id)""".stripMargin,
+
+    "lm_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |counts AS (SELECT term, count(*)::BIGINT AS cnt FROM tokf GROUP BY 1),
+        |total AS (SELECT sum(cnt)::DOUBLE AS n_total FROM counts),
+        |vocab AS (SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT 16)
+        |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(avg(-ln(coalesce(v.cnt, 1)::DOUBLE / (SELECT n_total FROM total))), 4) AS avg_neg_logprob
+        |FROM tokf t LEFT JOIN vocab v USING (term)
+        |GROUP BY 1""".stripMargin,
+
+    "keyword_extract" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM tokf GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tokf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    tf.freq::DOUBLE * ln((SELECT n_docs FROM n) / df.df::DOUBLE) AS tfidf
+        |  FROM tf JOIN df USING (term)),
+        |ranked AS (SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank::BIGINT AS rank, term, round(tfidf, 4) AS tfidf
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, substring(text, g, 1) AS ch
+        |  FROM documents, unnest(generate_series(1, length(text))) AS t(g)
+        |),
+        |hist AS (SELECT doc_id, ch, count(*)::DOUBLE AS c FROM chars GROUP BY 1, 2),
+        |ent AS (SELECT doc_id, log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h FROM hist GROUP BY 1)
+        |SELECT d.doc_id, round(coalesce(e.h, 0.0), 4) AS char_entropy
+        |FROM documents d LEFT JOIN ent e USING (doc_id)""".stripMargin,
 
     "cross_dup_grams" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),

@@ -332,6 +332,61 @@ object TextOps {
         md5(coalesce(col("scrubbed"), lit(""))).as("scrubbed_md5"))
   }
 
+  /** CCNet-style unigram-LM quality score: each document's mean negative
+    * log-probability under the corpus's own unigram distribution, with the
+    * model truncated to the `vocabSize` most frequent tokens and every
+    * out-of-vocabulary token floored at probability 1/N (N = corpus token
+    * count). Low scores = head-heavy fluent text, high scores = rare-token
+    * soup — the ranking CCNet buckets web text by (Wenzek et al. 2020 use a
+    * 5-gram KenLM; the unigram truncation is the same filter shape with a
+    * closed-form, oracle-exact model).
+    *
+    * Shape at 100 TB: token counts are one partial-agg shuffle on the token
+    * key (1 row per key after combine); the MODEL — top-V rows — is
+    * bounded by `vocabSize`, not the corpus, so it broadcasts (TakeOrdered,
+    * never a full sort); scoring is then a narrow broadcast-hash join over
+    * the exploded token stream plus one per-doc partial agg. Deterministic:
+    * the vocabulary cutoff tie-breaks on (count desc, token asc). */
+  def lmQuality(docs: DataFrame, vocabSize: Int = 65536): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("n_total"))
+    val vocab = counts.orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
+    toks.join(broadcast(vocab), Seq("term"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (-log(coalesce(col("cnt"), lit(1L)).cast("double") /
+          col("n_total").cast("double"))).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 4).as("avg_neg_logprob"))
+  }
+
+  /** Per-document keyword extraction: top `k` terms by tf·idf with
+    * idf = ln(N/df) — the corpus-statistics view of a document that search
+    * snippets, routing, and topic labeling read. Deterministic tie-break
+    * (tfidf desc, term asc).
+    *
+    * Shape at 100 TB: tf and df are both partial-agg shuffles; the tf↔df
+    * join keys on the term with NO forced broadcast — a web-scale vocabulary
+    * (typos, ids) outgrows any broadcast, and after per-doc aggregation the
+    * join is 1:1 per tf row, so AQE's sort-merge with skew splitting is the
+    * right plan (at sf the optimizer auto-broadcasts the tiny df side). The
+    * final top-k is a per-doc window — state bounded by one document's
+    * vocabulary, skew impossible by construction. */
+  def keywordExtract(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = termFreqs(docs).join(docFreqs(docs), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("freq").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
+
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 

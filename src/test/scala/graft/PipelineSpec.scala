@@ -34,6 +34,61 @@ class PipelineSpec extends AnyFunSuite {
     (base ++ dups).toDF("doc_id", "text")
   }
 
+  test("lmQuality: hand-computed unigram negative log-probs with OOV floor") {
+    // corpus: 6 tokens total; counts: a=3, b=2, c=1. vocabSize=2 keeps
+    // {a, b}; c is OOV and floors at 1/6
+    val d = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.lmQuality(d, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def nll(p: Double) = -math.log(p)
+    val d1 = (nll(3.0 / 6) + nll(3.0 / 6) + nll(2.0 / 6)) / 3
+    val d2 = (nll(3.0 / 6) + nll(2.0 / 6) + nll(1.0 / 6)) / 3
+    assert(out(1L) == ((3L, math.rint(d1 * 1e4) / 1e4)))
+    assert(out(2L) == ((3L, math.rint(d2 * 1e4) / 1e4)))
+  }
+
+  test("keywordExtract: tf*ln(N/df) ranking with deterministic tie-break") {
+    // N=3 docs; term df: x=3 (idf 0), y=2, z=1, w=1
+    val d = Seq((1L, "x y z z"), (2L, "x y"), (3L, "x w")).toDF("doc_id", "text")
+    val out = TextOps.keywordExtract(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1: z tf=2 idf=ln(3) beats y tf=1 idf=ln(1.5); x idf=0 last
+    assert(out((1L, 1L)) == "z" && out((1L, 2L)) == "y")
+    // doc 3: w (ln 3) beats x (0)
+    assert(out((3L, 1L)) == "w" && out((3L, 2L)) == "x")
+    // zero-idf x scores exactly 0.0 everywhere it appears at rank 2 in doc 2
+    assert(out((2L, 1L)) == "y" && out((2L, 2L)) == "x")
+  }
+
+  test("charEntropy: exact values, empty string, supplementary planes, fuzz") {
+    import graft.functions.CharEntropy
+    val cases = Seq(
+      "aabb" -> 1.0, "abab" -> 1.0, "abcd" -> 2.0, "aaaa" -> 0.0, "" -> 0.0,
+      // two distinct supplementary-plane code points, one each: H = 1 bit
+      // (counting UTF-16 units instead would see 4 units and break this)
+      "😀😁" -> 1.0)
+    val got = cases.map(_._1).toDF("text")
+      .select(CharEntropy.charEntropy(col("text"))).as[Double].collect()
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(math.abs(g - want) < 1e-12, s"want $want got $g")
+    }
+    // fuzz vs an independent local formula (-sum p*log2 p over a histogram)
+    val rnd = new scala.util.Random(7)
+    val strs = (0 until 50).map(_ =>
+      (0 until rnd.nextInt(200)).map(_ => ('a' + rnd.nextInt(8)).toChar).mkString)
+    def local(s: String): Double = {
+      if (s.isEmpty) return 0.0
+      val n = s.length.toDouble
+      -s.groupBy(identity).values.map(_.length / n)
+        .map(p => p * math.log(p) / math.log(2.0)).sum
+    }
+    val gotF = strs.toDF("text")
+      .select(CharEntropy.charEntropy(col("text"))).as[Double].collect()
+    strs.map(local).zip(gotF).foreach { case (want, g) =>
+      assert(math.abs(g - want) < 1e-9, s"want $want got $g")
+    }
+  }
+
   test("exact dedup groups exact copies only") {
     val groups = TextOps.dedupExact(docs).filter($"group_size" > 1).collect()
     assert(groups.length == 1)

@@ -34,6 +34,35 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("char_entropy is a shuffle-free narrow map with a pruned scan") {
+    val df = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      graft.functions.CharEntropy.charEntropy(
+        org.apache.spark.sql.functions.col("text")).as("h"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"char_entropy shuffles:\n$p")
+    // "*(n)" marks a WholeStageCodegen span in executedPlan.toString
+    assert(p.contains("*("), s"char_entropy fell out of codegen:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"char_entropy reads unused columns: $readSchema")
+  }
+
+  test("lm_quality: bounded model broadcast, partial aggs, no full sort") {
+    val p = plan(pipeline.TextOps.lmQuality(docs, vocabSize = 16))
+    assert(p.contains("BroadcastHashJoin"), p) // top-V model joins broadcast
+    assert(p.contains("TakeOrderedAndProject"), p) // vocab cutoff, not a global sort
+    assert(p.contains("partial"), p) // map-side combine on token counts
+  }
+
+  test("keyword_extract: no forced broadcast of the corpus-scale df side") {
+    // at this sf the optimizer may still CHOOSE broadcast; the assertion is
+    // that the per-doc window partitions by doc_id (bounded state) and both
+    // aggregates combine map-side
+    val p = plan(pipeline.TextOps.keywordExtract(docs, k = 3))
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial"), p)
+  }
+
   test("contamination broadcasts the eval gram set into a semi-join") {
     val p = plan(pipeline.TextOps.contamination(docs, 5, 50))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
