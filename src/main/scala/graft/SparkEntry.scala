@@ -518,6 +518,11 @@ object SparkEntry {
     "dup_span_scrub" -> ((s, dir) =>
       TextOps.scrubDupSpans(tbl(s, dir, "documents"))),
 
+    // MOSS winnowing (k=4, w=4): near-dup candidate pairs sharing >= 2
+    // selected fingerprints, hot fingerprints (df > 50) capped pre-join
+    "winnow_pairs" -> ((s, dir) =>
+      TextOps.winnowPairs(tbl(s, dir, "documents"))),
+
     // training-mix accounting: per-(source,lang) doc/token counts + share
     "source_mix" -> ((s, dir) =>
       TextOps.sourceMix(tbl(s, dir, "documents"))),
@@ -1020,6 +1025,32 @@ object SparkEntry {
          |  (len(t.w) - coalesce(reb.kept_n, 0))::BIGINT AS removed_tokens,
          |  md5(coalesce(reb.s, '')) AS scrubbed_md5
          |FROM t LEFT JOIN reb USING (doc_id)""".stripMargin,
+
+    // winnowing twin: window min over w=4 consecutive k=4-gram md5 hashes,
+    // rightmost argmin per full window (max(i) at the window min), distinct
+    // selected hashes per doc, df<=50 cap, then the shared-count self-join
+    "winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, i, md5(array_to_string(w[i:i+3], ' ')) AS h
+        |      FROM t, unnest(generate_series(1, len(w) - 3)) u(i)),
+        |a AS (SELECT doc_id, i, h,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        |      FROM g),
+        |gm AS (SELECT doc_id, max(i) AS gmax FROM g GROUP BY 1),
+        |fw AS (SELECT a.* FROM a JOIN gm USING (doc_id) WHERE a.i + 3 <= gm.gmax),
+        |sel AS (SELECT f.doc_id, max(g2.i) AS q
+        |        FROM fw f JOIN g g2 ON g2.doc_id = f.doc_id
+        |          AND g2.i BETWEEN f.i AND f.i + 3 AND g2.h = f.m
+        |        GROUP BY f.doc_id, f.i, f.m),
+        |fp AS (SELECT DISTINCT s.doc_id, g.h AS fp
+        |       FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.i = s.q),
+        |hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 50),
+        |cold AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
+        |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |      FROM cold x JOIN cold y ON x.fp = y.fp AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, count(*)::BIGINT AS shared_fps
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "source_mix" ->
       """WITH t AS (SELECT source, lang,

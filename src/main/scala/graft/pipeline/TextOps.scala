@@ -403,4 +403,76 @@ object TextOps {
       size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
       md5(scrubbed).as("scrubbed_md5"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): hash every k-token gram, slide a window
+    * of w consecutive gram hashes, select each window's minimum hash
+    * (rightmost position on ties), and keep the distinct selected hashes
+    * as the document's fingerprint set. The winnowing guarantee: any token
+    * run of length >= w+k-1 shared by two documents produces at least one
+    * SHARED selected fingerprint, while expected density is only 2/(w+1)
+    * of the grams — the bounded-size sketch that makes near-dup candidate
+    * generation tractable when full gram inversion
+    * ([[crossDocDupGrams]]) is too expensive.
+    *
+    * Shape at 100 TB: selection happens INSIDE one Catalyst array
+    * expression per document — transform over window starts with an
+    * aggregate-fold argmin per window — a narrow map with no explode, no
+    * per-gram shuffle and no window-function sort; only the selected
+    * ~2/(w+1) fraction survives to the explode. md5 is the gram hash, so
+    * hash order (lowercase-hex lexicographic) and therefore the selected
+    * set are bit-identical in the DuckDB twin. Returns distinct
+    * (doc_id, fp) rows; docs shorter than k+w-1 tokens emit none. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    // the gram-hash array materializes ONCE per doc in its OWN projection:
+    // the selection below reads it with one element_at per window probe,
+    // and higher-order functions evaluate interpreted with no cross-lambda
+    // CSE — inlined, every probe would re-run the whole tokenize→gram→md5
+    // pipeline (observed: O(tokens·windows·w) re-splits, ~1000× slower).
+    // CollapseProject keeps a non-cheap multi-referenced alias in its own
+    // projection; the spec pins md5 appearing once in the optimized plan.
+    val hashed = docs.select(col("doc_id"),
+      transform(wordGrams(col("text"), k), g => md5(g)).as("hs"))
+    val hs = col("hs")
+    // rightmost argmin over each full window of w consecutive hashes:
+    // fold positions p..p+w-1 keeping the later position on <= (ties go
+    // right, per the paper's rule — both engines compare the same hex)
+    val selPos = when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(1), size(hs) - lit(w - 1)), p =>
+        aggregate(sequence(p, p + lit(w - 1)), p,
+          (best, q) => when(element_at(hs, q) <= element_at(hs, best), q)
+            .otherwise(best)))))
+      .otherwise(array().cast("array<int>"))
+    hashed.select(col("doc_id"),
+      explode(array_distinct(transform(selPos, p => element_at(hs, p)))).as("fp"))
+  }
+
+  /** Near-duplicate candidate pairs over winnowing fingerprints: document
+    * pairs sharing at least `minShared` selected fingerprints, with the
+    * shared count as evidence weight. Fingerprints selected by more than
+    * `maxDf` documents are boilerplate (a stop-gram analog) and are
+    * dropped BEFORE the self-join — the same agg + broadcast-anti-join
+    * hot-key cap as the LSH dedup paths, bounding per-key join fan-out so
+    * one viral snippet cannot quadratically explode a corpus-scale run.
+    * The join key carries ids only; no text or gram arrays shuffle. */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+      minShared: Long = 2L, maxDf: Long = 50L): DataFrame = {
+    // the fingerprint relation feeds three consumers (hot count + both
+    // join sides); persist it for the run, keep only the (small) pair
+    // list pinned afterwards — the Dedup cache-release discipline
+    val fp = winnowFingerprints(docs, k, w).persist()
+    try {
+      val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("fp")
+      val cold = fp.join(broadcast(hot), Seq("fp"), "left_anti")
+      val out = cold.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(cold.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= minShared)
+        .cache()
+      out.count()
+      out
+    } finally fp.unpersist()
+  }
 }

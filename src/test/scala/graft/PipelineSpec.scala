@@ -179,6 +179,55 @@ class PipelineSpec extends AnyFunSuite {
       s"corpus-sized shingle cache found:\n${corpusSized.mkString("\n")}")
   }
 
+  test("winnowing: selection matches a local reference; guarantee holds on planted dups") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // straight-line transcription of Schleimer et al. §4's algorithm:
+    // every full window of w gram hashes selects its rightmost minimum
+    def winnowRef(text: String, k: Int, w: Int): Set[String] = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.length < k) return Set.empty
+      val hs = (0 to toks.length - k).map(i => md5hex(toks.slice(i, i + k).mkString(" ")))
+      if (hs.length < w) return Set.empty
+      (0 to hs.length - w).map { p =>
+        var best = p
+        for (q <- p until p + w) if (hs(q) <= hs(best)) best = q
+        hs(best)
+      }.toSet
+    }
+    val got = TextOps.winnowFingerprints(docs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getString(1)).toSet }
+    for ((id, text) <- docs.collect().map(r => (r.getLong(0), r.getString(1))))
+      assert(got.getOrElse(id, Set.empty) == winnowRef(text, 4, 4), s"doc $id")
+    // exact copy (102 of 1) selects the identical fingerprint set; the
+    // near-dup edits of doc 0 share runs >= w+k-1 = 7 tokens, so the
+    // winnowing guarantee forces shared fingerprints
+    assert(got(102L) == got(1L))
+    assert((got(100L) & got(0L)).nonEmpty && (got(101L) & got(0L)).nonEmpty)
+    val pairs = TextOps.winnowPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs((1L, 102L)) && pairs((0L, 101L)) && pairs((0L, 100L)))
+    // fingerprint selection is one narrow projection: no shuffle may
+    // appear before the explode of the selected (bounded) set
+    val fpPlan = TextOps.winnowFingerprints(docs).queryExecution.executedPlan.toString
+    assert(!fpPlan.contains("Exchange"),
+      s"winnowFingerprints must be shuffle-free:\n$fpPlan")
+    // and the gram-hash pipeline must stay materialized in its own
+    // projection: if CollapseProject ever inlines it, every one of the
+    // O(windows·w) element_at probes re-tokenizes the document (observed
+    // ~1000× slowdown) — md5 appearing exactly once in the optimized plan
+    // pins the hash array as compute-once. A LocalRelation input would
+    // constant-fold the whole projection away, so pin it on a Range-backed
+    // frame (the shape a parquet scan produces).
+    val ranged = spark.range(3).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j => concat(lit("w"), col("id"), lit(s"_$j"))): _*)
+        .as("text"))
+    val opt = TextOps.winnowFingerprints(ranged).queryExecution.optimizedPlan.toString
+    assert("md5".r.findAllIn(opt).size == 1,
+      s"gram hashes must be computed once, not inlined per probe:\n$opt")
+  }
+
   test("hot-bucket caps use aggregation, not a Window sort") {
     // embeddingPairs has no per-query ranking window, so ANY Window in its
     // plan is the r3 shuffle-sort cap regression
