@@ -523,6 +523,10 @@ object SparkEntry {
     "winnow_pairs" -> ((s, dir) =>
       TextOps.winnowPairs(tbl(s, dir, "documents"))),
 
+    // bigram collocations: global top-20 by PMI with a count>=5 floor
+    "collocations" -> ((s, dir) =>
+      TextOps.collocations(tbl(s, dir, "documents"))),
+
     // training-mix accounting: per-(source,lang) doc/token counts + share
     "source_mix" -> ((s, dir) =>
       TextOps.sourceMix(tbl(s, dir, "documents"))),
@@ -1051,6 +1055,25 @@ object SparkEntry {
         |      FROM cold x JOIN cold y ON x.fp = y.fp AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b, count(*)::BIGINT AS shared_fps
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // PMI formula transcribed with the same operator shape/associativity
+    // as the Spark side so the doubles (and the rounded rank cut) are
+    // bit-identical; pmi rounds BEFORE the order/limit
+    "collocations" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |uni AS (SELECT u.tok AS term, count(*)::BIGINT AS c1 FROM t, unnest(w) u(tok) GROUP BY 1),
+        |nu AS (SELECT sum(c1)::BIGINT AS n_uni FROM uni),
+        |bgall AS (SELECT w[i] || ' ' || w[i+1] AS bigram
+        |          FROM t, unnest(generate_series(1, len(w) - 1)) u(i)),
+        |nb AS (SELECT count(*)::BIGINT AS n_bg FROM bgall),
+        |bg AS (SELECT bigram, count(*)::BIGINT AS c2 FROM bgall GROUP BY 1 HAVING count(*) >= 5),
+        |s AS (SELECT bigram, c2, string_split(bigram, ' ')[1] AS ta,
+        |             string_split(bigram, ' ')[2] AS tb FROM bg)
+        |SELECT s.bigram, s.c2 AS n_pairs,
+        |  round(ln((s.c2::DOUBLE * nu.n_uni * nu.n_uni) /
+        |           (nb.n_bg::DOUBLE * a.c1 * b.c1)), 4) AS pmi
+        |FROM s JOIN uni a ON s.ta = a.term JOIN uni b ON s.tb = b.term, nu, nb
+        |ORDER BY pmi DESC, s.bigram ASC LIMIT 20""".stripMargin,
 
     "source_mix" ->
       """WITH t AS (SELECT source, lang,

@@ -404,6 +404,39 @@ object TextOps {
       md5(scrubbed).as("scrubbed_md5"))
   }
 
+  /** Bigram collocations by pointwise mutual information —
+    * pmi = ln(p(ab) / (p(a)·p(b))) with a `minCount` occurrence floor
+    * (Church & Hanks 1990), the standard multi-word-expression miner a
+    * tokenizer/vocabulary-induction pass runs over a corpus. Returns the
+    * global top `topK` by (pmi desc, bigram asc); pmi is rounded BEFORE
+    * ranking so the cut boundary is deterministic across engines.
+    *
+    * Shape at 100 TB: unigram and bigram counts are partial-agg shuffles;
+    * the min-count floor prunes the bigram tail BEFORE the unigram joins
+    * (the tail is the mass — zipf), and those joins key on the term with
+    * no forced broadcast (web vocabulary outgrows one; AQE broadcasts at
+    * small sf). The final top-k is a TakeOrdered over the floored
+    * survivors, never a full sort. */
+  def collocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val uni = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val nUni = uni.agg(sum("c1").as("n_uni"))
+    val bgAll = docs.select(explode(wordGrams(col("text"), 2)).as("bigram"))
+    val nBg = bgAll.agg(count(lit(1)).as("n_bg"))
+    val bg = bgAll.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    bg.select(col("bigram"), col("c2"),
+        split(col("bigram"), " ").getItem(0).as("ta"),
+        split(col("bigram"), " ").getItem(1).as("tb"))
+      .join(uni.select(col("term").as("ta"), col("c1").as("ca")), Seq("ta"))
+      .join(uni.select(col("term").as("tb"), col("c1").as("cb")), Seq("tb"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBg))
+      .select(col("bigram"), col("c2").as("n_pairs"),
+        round(log((col("c2").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_bg").cast("double") * col("ca") * col("cb"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc).limit(topK)
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
     * 2003 — the MOSS algorithm): hash every k-token gram, slide a window
     * of w consecutive gram hashes, select each window's minimum hash

@@ -179,6 +179,34 @@ class PipelineSpec extends AnyFunSuite {
       s"corpus-sized shingle cache found:\n${corpusSized.mkString("\n")}")
   }
 
+  test("collocations: PMI ranking matches a local reference computation") {
+    val texts = Seq(
+      (0L, "new york is big"),
+      (1L, "new york has a new park"),
+      (2L, "york new city"),
+      (3L, "big park in new york"),
+      (4L, "new york new york again"),
+      (5L, "the city is big and the park is new"))
+    val got = TextOps.collocations(texts.toDF("doc_id", "text"), minCount = 2L, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // local reference: same counts, same formula, same rounding mode
+    val toksAll = texts.flatMap(_._2.split(" ").filter(_.nonEmpty))
+    val uni = toksAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nUni = toksAll.size.toLong
+    val bgs = texts.flatMap(_._2.split(" ").filter(_.nonEmpty).sliding(2)
+      .filter(_.length == 2).map(_.mkString(" ")))
+    val nBg = bgs.size.toLong
+    val want = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2L)
+      .map { case (bgm, c2) =>
+        val Array(a, b) = bgm.split(" ")
+        val pmi = math.log((c2.toDouble * nUni * nUni) / (nBg.toDouble * uni(a) * uni(b)))
+        (bgm, c2, BigDecimal(pmi).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.sortBy { case (bgm, _, pmi) => (-pmi, bgm) }.take(5)
+    assert(got == want)
+    assert(got.exists(_._1 == "new york")) // the planted collocation survives the floor
+  }
+
   test("winnowing: selection matches a local reference; guarantee holds on planted dups") {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
