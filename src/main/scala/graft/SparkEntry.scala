@@ -22,6 +22,22 @@ object SparkEntry {
   private val pqBooks =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
 
+  /** PQ code frames cached per (table, session) — the encode-once half of
+    * train-once: at scale the codes table is written at index build and is
+    * the only thing resident; re-encoding the corpus per query batch would
+    * repeat the m×codewords distance scan every call. Session-checked so a
+    * stale frame from a stopped session is rebuilt, never reused. */
+  private val codedFrames =
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
+  private def cachedCoded(key: String, s: SparkSession)(build: => DataFrame): DataFrame =
+    codedFrames.get(key) match {
+      case Some((sess, df)) if sess eq s => df
+      case _ =>
+        val df = build.cache()
+        codedFrames.put(key, (s, df))
+        df
+    }
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -429,17 +445,20 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       // codebooks cached per table — trained once at index build at scale
       val bs = pqBooks.getOrElseUpdate(dir, Ann.trainPq(e))
-      Ann.pqTopK(e, e.filter(col("vec_id") < 5), k = 5, trained = Some(bs))
+      val cf = cachedCoded(s"pq|$dir", s)(Ann.encodePq(e, bs))
+      Ann.pqTopK(e, e.filter(col("vec_id") < 5), k = 5, trained = Some(bs),
+        coded = Some(cf))
     }),
 
     "ann_ivfpq" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val cs = ivfCentroids.getOrElseUpdate(dir, Ann.trainIvf(e))
       val bs = pqBooks.getOrElseUpdate(dir, Ann.trainPq(e))
+      val cf = cachedCoded(s"ivfpq|$dir", s)(Ann.encodeIvfPq(e, cs, bs))
       // nprobe=6: the cell pruning and the PQ distortion COMPOUND, so the
       // composition probes wider than plain IVF's nprobe=4 default
       Ann.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 5, nprobe = 6,
-        trainedIvf = Some(cs), trainedPq = Some(bs))
+        trainedIvf = Some(cs), trainedPq = Some(bs), precoded = Some(cf))
     }),
 
     // recall@5 of the approximate ANN paths against the exact brute force —
@@ -464,8 +483,9 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
       val bs = pqBooks.getOrElseUpdate(dir, Ann.trainPq(e))
+      val cf = cachedCoded(s"pq|$dir", s)(Ann.encodePq(e, bs))
       Ann.recallAtK(Ann.bruteForceTopK(e, q, k = 5),
-        Ann.pqTopK(e, q, k = 5, trained = Some(bs)), k = 5)
+        Ann.pqTopK(e, q, k = 5, trained = Some(bs), coded = Some(cf)), k = 5)
     }),
 
     "ann_ivfpq_recall" -> ((s, dir) => {
@@ -473,9 +493,10 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 5)
       val cs = ivfCentroids.getOrElseUpdate(dir, Ann.trainIvf(e))
       val bs = pqBooks.getOrElseUpdate(dir, Ann.trainPq(e))
+      val cf = cachedCoded(s"ivfpq|$dir", s)(Ann.encodeIvfPq(e, cs, bs))
       Ann.recallAtK(Ann.bruteForceTopK(e, q, k = 5),
         Ann.ivfPqTopK(e, q, k = 5, nprobe = 6,
-          trainedIvf = Some(cs), trainedPq = Some(bs)), k = 5)
+          trainedIvf = Some(cs), trainedPq = Some(bs), precoded = Some(cf)), k = 5)
     }),
 
     // -- text analysis

@@ -348,13 +348,28 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** Encode the corpus to PQ codes ONCE: (vec_id, codes). At scale this
+    * runs at index build and the codes table is what stays resident
+    * (m bytes/vector); repeated [[pqTopK]] calls pass it via `coded`
+    * instead of re-encoding per query batch. */
+  def encodePq(embeddings: DataFrame, books: Array[Array[Array[Double]]],
+      dim: Int = 64): DataFrame =
+    embeddings.select(col("vec_id"), pqCodeExpr(books, dim / books.length).as("codes"))
+
+  /** IVF-PQ index rows encoded once: (vec_id, cluster, codes). */
+  def encodeIvfPq(embeddings: DataFrame, centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], dim: Int = 64): DataFrame =
+    embeddings.select(col("vec_id"), assignExpr(centroids).as("cluster"),
+      pqCodeExpr(books, dim / books.length).as("codes"))
+
   def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
       dim: Int = 64, m: Int = 16, codewords: Int = 32, refine: Int = 8,
-      trained: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+      trained: Option[Array[Array[Array[Double]]]] = None,
+      coded: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val books = trained.getOrElse(trainPq(embeddings, m, codewords, dim = dim))
     val d0 = dim / m
-    val codes = embeddings.select(col("vec_id"), pqCodeExpr(books, d0).as("codes"))
+    val codes = coded.getOrElse(encodePq(embeddings, books, dim))
     // query-independent reconstructed squared norms per (subspace, codeword)
     val norm2: Seq[Seq[Double]] =
       books.map(_.map(c => c.map(v => v * v).sum).toSeq).toSeq
@@ -378,13 +393,13 @@ object Ann {
       dim: Int = 64, clusters: Int = 16, nprobe: Int = 4,
       m: Int = 16, codewords: Int = 32, refine: Int = 8,
       trainedIvf: Option[Array[Array[Double]]] = None,
-      trainedPq: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+      trainedPq: Option[Array[Array[Array[Double]]]] = None,
+      precoded: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val centroids = trainedIvf.getOrElse(trainIvf(embeddings, clusters))
     val books = trainedPq.getOrElse(trainPq(embeddings, m, codewords, dim = dim))
     val d0 = dim / m
-    val coded = embeddings.select(col("vec_id"), assignExpr(centroids).as("cluster"),
-      pqCodeExpr(books, d0).as("codes"))
+    val coded = precoded.getOrElse(encodeIvfPq(embeddings, centroids, books, dim))
     val norm2: Seq[Seq[Double]] =
       books.map(_.map(c => c.map(v => v * v).sum).toSeq).toSeq
     val qRows = queries.select(col("vec_id"), col("embedding")).collect()
