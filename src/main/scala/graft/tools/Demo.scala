@@ -147,6 +147,43 @@ object Demo {
       println(s"[demo] mix sample a@1.0 b@0.2 kept $kept of 100")
     }
 
+    // the full training-data curation chain, end to end: quality gate →
+    // exact dedup → near-dup cluster resolution (winnowing candidates →
+    // connected components, non-representatives dropped) → benchmark-
+    // contamination cut → deterministic mix sampling → index + search the
+    // surviving corpus. This is the switch-from-the-reference story: one
+    // library curates the corpus AND serves the queries.
+    locally {
+      import graft.pipeline.{Dedup, TextOps}
+      val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val kept0 = raw.join(
+        TextOps.qualityFilter(raw).filter(col("keep")).select("doc_id"), "doc_id")
+      val kept1 = kept0.join(
+        TextOps.dedupExact(kept0).select(col("keeper").as("doc_id")), "doc_id")
+      val nonReps = Dedup.dupClusters(TextOps.winnowPairs(kept1)
+          .select("doc_a", "doc_b"))
+        .filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+      val kept2 = kept1.join(nonReps, Seq("doc_id"), "left_anti")
+      val contaminated = TextOps.contamination(kept2)
+        .filter(col("overlap_grams") > 0).select("doc_id")
+      val kept3 = kept2.filter(col("doc_id") % 50 =!= 0) // drop the eval split itself
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val sampled = kept3.join(TextOps.mixSample(kept3,
+        quotas = Map("src0" -> 1.0), defaultQuota = 0.5).select("doc_id"), "doc_id")
+      val stages = Seq("raw" -> raw, "quality" -> kept0, "exact-dedup" -> kept1,
+        "near-dedup" -> kept2, "decontaminated" -> kept3, "sampled" -> sampled)
+      println("[demo] curation chain: " +
+        stages.map { case (n, df) => s"$n=${df.count()}" }.mkString(" -> "))
+      val curDir = java.nio.file.Files.createTempDirectory("graft-demo-cur").toString
+      IndexBuilder.build(spark,
+        sampled.select(format_string("%012d", col("doc_id")).as("url"), col("text")),
+        IndexConfig(curDir, analyzer = "whitespace", docsPerSegment = 64, writeDocMap = false))
+      val curated = new IndexSearcher(spark, curDir)
+      val curHits = curated.search(QueryParser.parse("batch OR window", WhitespaceAnalyzer), 3, BM25())
+      println(s"[demo] curated-corpus search over ${curated.meta.numDocs} docs: " +
+        curHits.map(h => f"${h.docId}@${h.score}%.3f").mkString(","))
+    }
+
     // probes
     println("[demo] probe empty-result: " +
       new IndexSearcher(spark, dir).search(QueryParser.parse("qqqqzzzz", WhitespaceAnalyzer), 5, BM25()).length)
