@@ -139,12 +139,14 @@ object IndexMetaIO {
   }
 
   /** All commit generations on disk, ascending — the reference's
-    * IndexReader::listCommits (each generation is an openable point-in-time
-    * snapshot until a compaction retires segments it references). Only
-    * generations whose binary `.segs` twin survives are listed: the
-    * point-in-time open path reads the twin, so a `.json` whose twin was
-    * lost (the legacy case `readLatest`'s dir-scan fallback covers) must
-    * not be advertised as openable. */
+    * IndexReader::listCommits. Every listed generation is openable:
+    * compaction purges the commit files whose snapshots reference the
+    * segments it physically retires (Maintenance.compact), so history
+    * truncates exactly where its files go. Only generations whose binary
+    * `.segs` twin survives are listed: the point-in-time open path reads
+    * the twin, so a `.json` whose twin was lost (the legacy case
+    * `readLatest`'s dir-scan fallback covers) must not be advertised as
+    * openable. */
   def commitGens(indexDir: String): Seq[Int] = {
     val cd = new File(indexDir, "commits")
     listCommitGens(cd)

@@ -271,6 +271,24 @@ object Maintenance {
       Option(d.listFiles()).foreach(_.foreach(_.delete()))
       d.delete()
     }
+    // retire the commit points whose snapshots reference the deleted
+    // segments: left in place, commitGens would advertise point-in-time
+    // generations that can no longer open. Compaction is where history
+    // referencing merged-away files truncates (the reference's default
+    // KeepOnlyLastCommitDeletionPolicy applied at the moment files go);
+    // commits that reference only surviving segments stay openable, and
+    // ALREADY-OPEN readers on purged gens keep working — segment data is
+    // mmap'd, so unlinked files stay readable until the reader drops them
+    // (the same POSIX semantics the reference's deletion policy leans on).
+    val commitsDir = new File(indexDir, "commits")
+    IndexMetaIO.commitGens(indexDir).foreach { g =>
+      val refsRetired = IndexMetaIO.readSnapshot(indexDir, g)
+        .exists(_._1.segments.exists(s => retired.contains(s.segId)))
+      if (refsRetired) {
+        new File(commitsDir, s"commit_$g.segs").delete()
+        new File(commitsDir, s"commit_$g.json").delete()
+      }
+    }
     newMeta
   }
 }

@@ -184,6 +184,40 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(new IndexSearcher(spark, dir).search(q, 10, BM25()).toSeq == hitsBefore.toSeq)
   }
 
+  test("compaction purges exactly the commit points that reference retired segments") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-commits").toString
+    val ts = texts(60)
+    ts.grouped(20).zipWithIndex.foreach { case (g, b) =>
+      val df = g.zipWithIndex.map { case (t, i) => (f"u${b * 20 + i}%04d", t) }.toDF("url", "text")
+      graft.streaming.StreamingIndexer.appendBatch(spark, df, dir, docsPerSegment = 1 << 20, batchId = b)
+    }
+    val gensBefore = IndexMetaIO.commitGens(dir)
+    assert(gensBefore.size == 3) // one commit per append
+    Maintenance.compact(spark, dir, minDocs = 100)
+    // every pre-compact commit referenced at least one retired segment, so
+    // only the compaction's own commit may remain listed...
+    val gensAfter = IndexMetaIO.commitGens(dir)
+    assert(gensAfter.size == 1 && !gensBefore.contains(gensAfter.head),
+      s"before=$gensBefore after=$gensAfter")
+    // ...and EVERY advertised generation actually opens (the listed-but-
+    // unreadable point-in-time gap this purge closes)
+    graft.search.ReaderCache.clear()
+    gensAfter.foreach { g =>
+      val s = new IndexSearcher(spark, dir, Some(g))
+      assert(s.search(BoolQ(should = Seq(TermQ("w1"))), 5, BM25()).nonEmpty)
+    }
+    // a post-compact append's commit references no retired segment and
+    // stays openable alongside the compaction commit
+    graft.streaming.StreamingIndexer.appendBatch(spark,
+      Seq(("zzz1", "w1 fresh tail")).toDF("url", "text"), dir,
+      docsPerSegment = 1 << 20, batchId = 99)
+    val gensFinal = IndexMetaIO.commitGens(dir)
+    assert(gensFinal.size == 2 && gensFinal.head == gensAfter.head)
+    graft.search.ReaderCache.clear()
+    gensFinal.foreach(g => new IndexSearcher(spark, dir, Some(g)))
+  }
+
   test("build resume after compaction does not double-index merged ranges") {
     val dir = Files.createTempDirectory("graft-resume-compact").toString
     val corpus = SyntheticCorpus.generate(spark, 256, seed = 33, avgLen = 25, vocab = 80)
