@@ -28,14 +28,20 @@ object SparkEntry {
     * repeat the m×codewords distance scan every call. Session-checked so a
     * stale frame from a stopped session is rebuilt, never reused. */
   private val codedFrames =
-    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
+    scala.collection.mutable.Map.empty[String, (SparkSession, DataFrame)]
   private def cachedCoded(key: String, s: SparkSession)(build: => DataFrame): DataFrame =
-    codedFrames.get(key) match {
-      case Some((sess, df)) if sess eq s => df
-      case _ =>
-        val df = build.cache()
-        codedFrames.put(key, (s, df))
-        df
+    codedFrames.synchronized {
+      codedFrames.get(key) match {
+        case Some((sess, df)) if sess eq s => df
+        case stale =>
+          // release a frame displaced by a session change; best-effort —
+          // unpersist against an already-stopped session throws
+          stale.foreach { case (_, df) =>
+            try df.unpersist() catch { case _: Throwable => () } }
+          val df = build.cache()
+          codedFrames.put(key, (s, df))
+          df
+      }
     }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =

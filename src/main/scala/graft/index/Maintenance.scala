@@ -265,14 +265,8 @@ object Maintenance {
       .flatMap(_._2.get("delgen"))
     IndexMetaIO.writeCommit(indexDir, newMeta,
       delGen.map(g => Map("delgen" -> g)).getOrElse(Map.empty))
-    // physical cleanup of retired dirs (safe: snapshot no longer lists them)
-    retired.foreach { id =>
-      val d = new File(indexDir, SegmentFormat.segDirName(id))
-      Option(d.listFiles()).foreach(_.foreach(_.delete()))
-      d.delete()
-    }
-    // retire the commit points whose snapshots reference the deleted
-    // segments: left in place, commitGens would advertise point-in-time
+    // retire the commit points whose snapshots reference the segments about
+    // to be deleted: left in place, commitGens would advertise point-in-time
     // generations that can no longer open. Compaction is where history
     // referencing merged-away files truncates (the reference's default
     // KeepOnlyLastCommitDeletionPolicy applied at the moment files go);
@@ -280,6 +274,10 @@ object Maintenance {
     // ALREADY-OPEN readers on purged gens keep working — segment data is
     // mmap'd, so unlinked files stay readable until the reader drops them
     // (the same POSIX semantics the reference's deletion policy leans on).
+    // ORDER MATTERS: commits purge BEFORE the segment dirs go — a crash
+    // between the two steps then leaves only leaked-but-openable dirs,
+    // never a listed generation whose data is gone (the invariant
+    // commitGens documents).
     val commitsDir = new File(indexDir, "commits")
     IndexMetaIO.commitGens(indexDir).foreach { g =>
       val refsRetired = IndexMetaIO.readSnapshot(indexDir, g)
@@ -288,6 +286,13 @@ object Maintenance {
         new File(commitsDir, s"commit_$g.segs").delete()
         new File(commitsDir, s"commit_$g.json").delete()
       }
+    }
+    // physical cleanup of retired dirs (safe: no listed snapshot references
+    // them anymore)
+    retired.foreach { id =>
+      val d = new File(indexDir, SegmentFormat.segDirName(id))
+      Option(d.listFiles()).foreach(_.foreach(_.delete()))
+      d.delete()
     }
     newMeta
   }

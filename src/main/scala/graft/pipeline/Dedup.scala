@@ -18,7 +18,7 @@ object Dedup {
     * long-lived session until an external clearCache(). The pair list
     * itself is the one thing worth keeping warm (and is what repeated
     * invocations of the same plan re-read). */
-  private def materialized(out: DataFrame,
+  private[pipeline] def materialized(out: DataFrame,
       intermediates: Seq[DataFrame]): DataFrame = {
     val cached = out.cache()
     cached.count()

@@ -418,14 +418,18 @@ object TextOps {
     * small sf). The final top-k is a TakeOrdered over the floored
     * survivors, never a full sort. */
   def collocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    // uni feeds three consumers (the total + both term joins) and the
+    // grouped bigram counts two (the total + the floored join side) —
+    // persist both so the corpus is tokenized once per stream, not five
+    // times, and release them once the (tiny) top-k materializes
     val uni = docs.select(explode(tokens(col("text"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("c1"))
+      .groupBy("term").agg(count(lit(1)).as("c1")).persist()
+    val bgCounts = docs.select(explode(wordGrams(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2")).persist()
     val nUni = uni.agg(sum("c1").as("n_uni"))
-    val bgAll = docs.select(explode(wordGrams(col("text"), 2)).as("bigram"))
-    val nBg = bgAll.agg(count(lit(1)).as("n_bg"))
-    val bg = bgAll.groupBy("bigram").agg(count(lit(1)).as("c2"))
-      .filter(col("c2") >= minCount)
-    bg.select(col("bigram"), col("c2"),
+    val nBg = bgCounts.agg(sum("c2").as("n_bg"))
+    val bg = bgCounts.filter(col("c2") >= minCount)
+    val out = bg.select(col("bigram"), col("c2"),
         split(col("bigram"), " ").getItem(0).as("ta"),
         split(col("bigram"), " ").getItem(1).as("tb"))
       .join(uni.select(col("term").as("ta"), col("c1").as("ca")), Seq("ta"))
@@ -435,6 +439,7 @@ object TextOps {
         round(log((col("c2").cast("double") * col("n_uni") * col("n_uni")) /
           (col("n_bg").cast("double") * col("ca") * col("cb"))), 4).as("pmi"))
       .orderBy(col("pmi").desc, col("bigram").asc).limit(topK)
+    Dedup.materialized(out, Seq(uni, bgCounts))
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
@@ -492,20 +497,17 @@ object TextOps {
       minShared: Long = 2L, maxDf: Long = 50L): DataFrame = {
     // the fingerprint relation feeds three consumers (hot count + both
     // join sides); persist it for the run, keep only the (small) pair
-    // list pinned afterwards — the Dedup cache-release discipline
+    // list pinned afterwards — Dedup.materialized's cache-release
+    // discipline, shared with the other pair operators
     val fp = winnowFingerprints(docs, k, w).persist()
-    try {
-      val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("fp")
-      val cold = fp.join(broadcast(hot), Seq("fp"), "left_anti")
-      val out = cold.select(col("fp"), col("doc_id").as("doc_a"))
-        .join(cold.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
-        .filter(col("shared_fps") >= minShared)
-        .cache()
-      out.count()
-      out
-    } finally fp.unpersist()
+    val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("fp")
+    val cold = fp.join(broadcast(hot), Seq("fp"), "left_anti")
+    val out = cold.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(cold.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+    Dedup.materialized(out, Seq(fp))
   }
 }
