@@ -27,15 +27,14 @@ object Dedup {
   }
 
   /** Word w-shingles of the whitespace token stream, as a distinct array
-    * per doc (no shuffle). */
-  def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val sh = when(size(toks) >= w,
-      array_distinct(transform(sequence(lit(0), size(toks) - w),
-        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
-    ).otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), sh.as("shingles"))
-  }
+    * per doc (no shuffle). array_distinct over the native
+    * [[graft.functions.WordGrams]] — value-identical to the previous
+    * sequence+slice+concat_ws composition (same grams, same first-
+    * occurrence order) but tokenizes once per doc instead of once per
+    * window position (the O(tokens²) interpreted-HOF hazard). */
+  def shingles(docs: DataFrame, w: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(TextOps.wordGrams(col("text"), w)).as("shingles"))
 
   /** All pairs (a < b) with shingle-set Jaccard >= minJaccard via an
     * inverted shingle self-join. EXACT but quadratic in per-shingle df (one

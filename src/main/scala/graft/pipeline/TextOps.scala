@@ -99,9 +99,18 @@ object TextOps {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("group_size"))
 
   /** Word n-grams of the whitespace tokens, joined back with spaces —
-    * empty array when the doc is shorter than n. Pure Catalyst (sequence +
-    * slice inside transform), stays in WholeStageCodegen. */
-  def wordGrams(text: Column, n: Int): Column = {
+    * empty array when the doc is shorter than n. Native codegen expression
+    * ([[graft.functions.WordGrams]]): the previous sequence+slice+concat_ws
+    * higher-order composition re-ran the `filter(split(text))` tokenize for
+    * every window position (no cross-lambda CSE — O(tokens²) per doc) and
+    * was the dominant cost of every gram-based operator. */
+  def wordGrams(text: Column, n: Int): Column =
+    graft.functions.WordGrams.wordGrams(text, n)
+
+  /** The pre-r6 built-in composition of [[wordGrams]] — kept as the
+    * executable spec the native expression is pinned value-identical to
+    * (PipelineSpec). */
+  private[graft] def wordGramsSpec(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
@@ -291,7 +300,12 @@ object TextOps {
     val gramsPos = docs.select(col("doc_id"),
       posexplode(wordGrams(col("text"), n)).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("gram"))
-    val shared = gramsPos.select(col("doc_id"), col("gram")).distinct()
+    // shared set from per-doc-distinct arrays (the [[crossDocDupGrams]]
+    // trick): the per-gram count(*) IS the distinct-doc count, so the
+    // (doc_id, gram) distinct — a full extra Exchange of every gram
+    // string — is unnecessary (guide §2.4: remove shuffles outright)
+    val shared = docs.select(
+        explode(array_distinct(wordGrams(col("text"), n))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("gram")
     val hits = gramsPos.join(shared, Seq("gram"), "left_semi")

@@ -534,6 +534,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(nNative == nSpec, s"null-element fold diverged: $nNative vs $nSpec")
   }
 
+  test("native word_grams == built-in sequence/slice/concat_ws composition") {
+    // edge shapes: repeated/leading/trailing/multiple spaces, exactly-n
+    // tokens, shorter-than-n, empty, single token, multi-byte UTF-8
+    val d = (Seq(
+      (1L, "a b c d e"), (2L, "  x  y "), (3L, "one"), (4L, ""),
+      (5L, "a a a a"), (6L, "é ß 漢 字 x"), (7L, "p q r")) ++
+      (0 until 30).map(i => (100L + i, (0 until 25).map(j => s"w${(i + j) % 9}").mkString(" "))))
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5, 8)) {
+      val native = d.select(col("doc_id"), TextOps.wordGrams(col("text"), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val spec = d.select(col("doc_id"), TextOps.wordGramsSpec(col("text"), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(native == spec, s"word_grams diverged from spec at n=$n")
+    }
+    // null text: the composition's CASE WHEN fallthrough yields an empty
+    // array — the native wrapper's coalesce must match
+    val nd = Seq((1L, Option.empty[String]), (2L, Some("a b c"))).toDF("doc_id", "text")
+    val nNative = nd.select(TextOps.wordGrams(col("text"), 2).as("g"))
+      .as[Seq[String]].collect().toSeq
+    val nSpec = nd.select(TextOps.wordGramsSpec(col("text"), 2).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(nNative == nSpec, s"null-text behavior diverged: $nNative vs $nSpec")
+    // the whole-stage-codegen path actually compiles the expression
+    // (file-scan input, as in the minhash_signature test above)
+    val pd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scanBacked = pd.select(TextOps.wordGrams(col("text"), 8).as("g"))
+    assert(scanBacked.queryExecution.executedPlan.toString.contains("word_grams"))
+    assert(scanBacked.count() == pd.count())
+  }
+
   test("quality filter reports the first failed rule; source mix shares sum to 1") {
     val d = Seq(
       (1L, "too short", "en", "s0"),
