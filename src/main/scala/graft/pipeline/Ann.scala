@@ -14,8 +14,18 @@ object Ann {
 
   /** Cosine similarity of two float-array columns, computed in double with
     * left-fold summation (matches DuckDB's list_cosine_similarity within
-    * 1e-15; `aggregate`/`zip_with` are Catalyst codegen'd). */
-  def cosine(a: Column, b: Column): Column = {
+    * 1e-15). Native codegen expression ([[graft.functions.CosineSim]]) —
+    * the previous `aggregate`/`zip_with` composition evaluated interpreted
+    * (higher-order functions are CodegenFallback) at ~45 µs per cosine,
+    * dominating every ANN battery entry; the native kernel is pinned
+    * value-identical (same fold order, same null semantics) in
+    * PipelineSpec. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosineSim(a, b)
+
+  /** The pre-r6 built-in composition of [[cosine]] — the executable spec
+    * the native expression is pinned against (PipelineSpec). */
+  private[graft] def cosineSpec(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
@@ -51,10 +61,19 @@ object Ann {
   }
 
   /** Random-hyperplane signature for one table: bit b = sign of
-    * dot(v, h_{table,b}); coefficients are embedded array literals, so the
-    * per-row work is `bits` plain dot products — expression-level, no UDF,
-    * no shuffle. */
+    * dot(v, h_{table,b}). Native codegen expression
+    * ([[graft.functions.HyperplaneSig]]) — one generated loop over the
+    * `bits` dot products instead of `bits` interpreted zip_with/aggregate
+    * chains per row; pinned value-identical to the composition (including
+    * the irregular-input → signature 0 fold) in PipelineSpec. */
   def lshSignature(v: Column, dim: Int, bits: Int, table: Int = 0): Column =
+    graft.functions.VectorOps.hyperplaneSig(v,
+      (0 until bits).map(b => hyperplane(table * bits + b, dim).toSeq))
+
+  /** The pre-r6 built-in composition of [[lshSignature]] — the executable
+    * spec the native expression is pinned against (PipelineSpec). */
+  private[graft] def lshSignatureSpec(v: Column, dim: Int, bits: Int,
+      table: Int = 0): Column =
     (0 until bits).map { b =>
       val coeffs = typedLit(hyperplane(table * bits + b, dim).toSeq)
       val dot = aggregate(
@@ -319,8 +338,15 @@ object Ann {
 
   /** Approximate cosine from PQ codes: Σ_s lut[s][code_s] over the query
     * LUT column, normalized by the exact query norm and the reconstructed
-    * vector norm (query-independent `norm2` table). */
-  private def adcCosine(norm2: Seq[Seq[Double]]): Column = {
+    * vector norm (query-independent `norm2` table). Native codegen
+    * expression ([[graft.functions.AdcCosine]]); the zip_with/element_at
+    * spec it is pinned against lives in PipelineSpec. */
+  private def adcCosine(norm2: Seq[Seq[Double]]): Column =
+    graft.functions.VectorOps.adcCosine(col("codes"), col("lut"), col("qnorm"), norm2)
+
+  /** The pre-r6 built-in composition of [[adcCosine]] — the executable
+    * spec the native expression is pinned against (PipelineSpec). */
+  private[graft] def adcCosineSpec(norm2: Seq[Seq[Double]]): Column = {
     def lookupSum(table: Column): Column =
       aggregate(zip_with(col("codes"), table,
         (cd, row) => element_at(row, cd + 1)), lit(0.0), (a, x) => a + x)

@@ -565,6 +565,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(scanBacked.count() == pd.count())
   }
 
+  test("native cosine_sim / hyperplane_sig / adc_cosine == built-in compositions") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i => (i.toLong,
+      Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+    val irregular = Seq(
+      (100L, Seq.fill(63)(0.5f)),          // short vector
+      (101L, Seq.empty[Float]))            // empty vector
+    val vdf = (vecs ++ irregular).toDF("vec_id", "embedding")
+
+    // cosine: bit-identical to the fold composition, incl. float->double
+    // cast order (pairs include the irregular shapes -> null via zip_with)
+    val pairs = vdf.as("a").crossJoin(vdf.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+    val cosBoth = pairs.select(
+      Ann.cosine(col("a.embedding"), col("b.embedding")).as("n"),
+      Ann.cosineSpec(col("a.embedding"), col("b.embedding")).as("s"))
+      .collect()
+    cosBoth.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null divergence: $r")
+      if (!r.isNullAt(0))
+        assert(r.getDouble(0) == r.getDouble(1), s"cosine diverged: $r")
+    }
+
+    // hyperplane signature: identical longs for every table, incl. the
+    // irregular-input -> 0 fold
+    (0 until 4).foreach { t =>
+      val sigBoth = vdf.select(
+        Ann.lshSignature(col("embedding"), 64, 8, t).as("n"),
+        Ann.lshSignatureSpec(col("embedding"), 64, 8, t).as("s")).collect()
+      sigBoth.foreach(r =>
+        assert(r.getLong(0) == r.getLong(1), s"signature diverged at table $t: $r"))
+    }
+
+    // adc cosine: identical doubles over random codes/luts
+    val m = 16; val cw = 8
+    val norm2 = Seq.tabulate(m)(s => Seq.tabulate(cw)(c => 0.1 * (s + 1) + 0.01 * c))
+    val rows = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(m)(rnd.nextInt(cw)),
+        Seq.fill(m)(Seq.fill(cw)(rnd.nextGaussian())), 1.0 + rnd.nextDouble())
+    }.toDF("id", "codes", "lut", "qnorm")
+    val adcBoth = rows.select(
+      graft.functions.VectorOps.adcCosine(col("codes"), col("lut"), col("qnorm"), norm2).as("n"),
+      Ann.adcCosineSpec(norm2).as("s")).collect()
+    adcBoth.foreach(r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"adc diverged: $r"))
+
+    // whole-stage-codegen path compiles (file-scan input, as above)
+    val pe = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val compiled = pe.as("a").join(pe.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(Ann.cosine(col("a.embedding"), col("b.embedding")).as("c"),
+        Ann.lshSignature(col("a.embedding"), 64, 8).as("g"))
+    assert(compiled.queryExecution.executedPlan.toString.contains("cosine_sim"))
+    assert(compiled.queryExecution.executedPlan.toString.contains("hyperplane_sig"))
+    assert(compiled.count() > 0)
+  }
+
   test("quality filter reports the first failed rule; source mix shares sum to 1") {
     val d = Seq(
       (1L, "too short", "en", "s0"),
