@@ -246,17 +246,21 @@ object Dedup {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    // Each round's result is eagerly LOCAL-CHECKPOINTED, not merely
-    // cached: `labels` feeds the next round twice (propagation join +
+    // Each round's result is LOCAL-CHECKPOINTED, not merely cached:
+    // `labels` feeds the next round twice (propagation join +
     // neighborhood agg), so without lineage truncation the logical plan
     // doubles per round — a 40-hop chain graph OOMs the driver on plan
     // strings alone long before any data is big (caught by the
     // PipelineSpec fuzz). Checkpointing makes every round's plan
     // constant-size; superseded checkpoint RDDs are reaped by the
-    // ContextCleaner once unreferenced.
+    // ContextCleaner once unreferenced. LAZY checkpoints (r6): the
+    // `changed` count is the one action per round and materializes the
+    // checkpoint as it runs — the eager variant ran a second, redundant
+    // materialization job per round (guide §1.2: per-task work after the
+    // job shape; here the job COUNT was the shape).
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) { // 64 = runaway guard; the require
@@ -269,7 +273,7 @@ object Dedup {
       val next = labels.join(nbrMin, "id")
         .select(col("id"), least(col("label"), col("nlabel")).as("label"),
           (col("nlabel") < col("label")).as("chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("label"))
       rounds += 1
