@@ -165,8 +165,10 @@ object EngineQueries {
     val sim = BM25Exact()
     val hits = s.search(q, k, sim)
     import spark.implicits._
-    hits.toSeq.map { h =>
-      val e = s.explain(q, h.docId, sim)
+    // batched: one Spark job explains every hit (r6 — the per-hit loop ran
+    // a df job + a one-task job per doc, ~2k jobs/s of pure scheduling)
+    val exps = s.explainMany(q, hits.map(_.docId).toSeq, sim)
+    hits.toSeq.zip(exps).map { case (h, e) =>
       require(e.matched, s"explain mismatch: doc ${h.docId} scored but not matched")
       (h.docId,
         BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)

@@ -364,7 +364,12 @@ object TextOps {
   def lmQuality(docs: DataFrame, vocabSize: Int = 65536): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum("cnt").as("n_total"))
+    // N = corpus token count — identical to sum(cnt) over the term counts,
+    // but a narrow per-doc size() scan instead of a third corpus explode +
+    // aggregate pipeline (guide §2.3: aggregate before you shuffle; here
+    // the whole explode disappears)
+    val total = docs.agg(
+      sum(size(tokens(col("text"))).cast("long")).as("n_total"))
     val vocab = counts.orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
     toks.join(broadcast(vocab), Seq("term"), "left_outer")
       .crossJoin(broadcast(total))
@@ -390,6 +395,11 @@ object TextOps {
   def keywordExtract(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // note (r6): deriving df FROM the tf aggregate was tried and reverted —
+    // column pruning specializes the two tf subtrees (the df branch drops
+    // the count), so the exchange is NOT reused and the rewrite just added
+    // an aggregation level; docFreqs' per-doc-distinct-before-explode shape
+    // is the better two-pass plan at any scale
     val scored = termFreqs(docs).join(docFreqs(docs), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),

@@ -291,6 +291,43 @@ final class IndexSearcher(spark: SparkSession, val indexDir: String,
     out
   }
 
+  /** Batched [[explain]]: every (query, doc) explanation in ONE Spark job
+    * (one task per touched segment, one shared df job and broadcast pair)
+    * instead of a df job + a one-task job per doc. Same per-doc tree as
+    * [[explain]] — identical Explanation values; order follows `docIds`. */
+  def explainMany(q0: Query, docIds: Seq[Long], sim: Similarity): Seq[Explanation] = {
+    val q = Query.rewrite(expandQueries(Seq("q" -> q0)).head._2)
+    val dfMap = globalDf(Query.allTerms(q))
+    val st = stats
+    val sc = spark.sparkContext
+    val bySeg = docIds.distinct.flatMap { docId =>
+      meta.segments.find(m => docId >= m.docBase && docId < m.docBase + m.docCount)
+        .map(m => cacheKey(new File(indexDir,
+          graft.index.SegmentFormat.segDirName(m.segId)).getPath) -> docId)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+    val results: Map[Long, Explanation] =
+      if (bySeg.isEmpty) Map.empty
+      else {
+        val bcQ = sc.broadcast(q)
+        val bcDf = sc.broadcast(dfMap)
+        val out = sc.parallelize(bySeg, bySeg.size).flatMap { case (dir, ids) =>
+          val reader = ReaderCache.get(dir)
+          val df = (t: String) => bcDf.value.getOrElse(t, 0L)
+          val qn = sim.queryNorm(SegmentSearch.sumOfSquaredWeights(bcQ.value, sim, st, df))
+          ids.map { docId =>
+            val local = (docId - reader.meta.docBase).toInt
+            val view = Explain.docView(reader, local, Explain.viewTerms(bcQ.value))
+            docId -> Explain.explainDoc(bcQ.value, view, sim, st, bcDf.value, qn)
+          }
+        }.collect().toMap
+        bcQ.destroy()
+        bcDf.destroy()
+        out
+      }
+    docIds.map(id => results.getOrElse(id,
+      Explanation(0.0, s"doc $id not in index", matched = false)))
+  }
+
   /** Delete every doc matching `q` — the reference's
     * IndexReader::deleteDocuments re-expressed: one task per segment ORs
     * the match set into the segment's del bitset (atomic write), the
