@@ -320,10 +320,12 @@ object Ann {
   /** Per-query ADC lookup tables dot(q_s, c_{s,j}) plus the exact query
     * norm — driver-side, m × codewords doubles per query (the query set is
     * the small broadcast side by construction). */
-  private def adcLuts(books: Array[Array[Array[Double]]], d0: Int,
-      queries: DataFrame): Seq[(Long, Seq[Seq[Double]], Double)] = {
-    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+  private def collectQueries(queries: DataFrame): Array[(Long, Array[Double])] =
+    queries.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+
+  private def adcLuts(books: Array[Array[Array[Double]]], d0: Int,
+      qRows: Array[(Long, Array[Double])]): Seq[(Long, Seq[Seq[Double]], Double)] = {
     qRows.map { case (qid, qv) =>
       val lut: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
         book.map { c =>
@@ -400,7 +402,8 @@ object Ann {
     val norm2: Seq[Seq[Double]] =
       books.map(_.map(c => c.map(v => v * v).sum).toSeq).toSeq
     import spark.implicits._
-    val qDf = adcLuts(books, d0, queries).toDF("query_id", "lut", "qnorm")
+    val qDf = adcLuts(books, d0, collectQueries(queries))
+      .toDF("query_id", "lut", "qnorm")
     val scored = codes.join(broadcast(qDf), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         adcCosine(norm2).as("approx"))
@@ -428,8 +431,9 @@ object Ann {
     val coded = precoded.getOrElse(encodeIvfPq(embeddings, centroids, books, dim))
     val norm2: Seq[Seq[Double]] =
       books.map(_.map(c => c.map(v => v * v).sum).toSeq).toSeq
-    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    // one driver collect of the (small) query side feeds BOTH the probe
+    // lists and the ADC LUTs (was two separate collect jobs per call)
+    val qRows = collectQueries(queries)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -441,7 +445,7 @@ object Ann {
     }.toSeq
     import spark.implicits._
     val probeDf = probes.toDF("query_id", "cluster")
-    val qDf = adcLuts(books, d0, queries).toDF("query_id", "lut", "qnorm")
+    val qDf = adcLuts(books, d0, qRows).toDF("query_id", "lut", "qnorm")
     val scored = coded.join(broadcast(probeDf), "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(qDf), "query_id")
