@@ -322,28 +322,30 @@ object TextOps {
   /** Apply the span-dedup cut: delete every token covered by a
     * [[crossDocDupSpans]] span and re-emit the document (as a count plus an
     * md5 of the scrubbed text, [[piiScrub]]-style — the driver compare
-    * never ships full text). Tokens keep their original order via an
-    * array_sort over (pos, token) structs inside the per-doc aggregate —
-    * per-group state is one document's kept tokens, so the rebuild is as
-    * skew-proof as the islands step. Spans are maximal and therefore
-    * disjoint per doc, so covered positions need no dedup. */
+    * never ships full text).
+    *
+    * Shape at 100 TB (r6, guide §2.4 — remove shuffles outright): the
+    * pre-r6 version exploded EVERY corpus token and anti-join-shuffled
+    * the whole token stream by (doc_id, pos), then rebuilt each doc
+    * through a collect_list aggregate — two corpus-token exchanges plus
+    * an object aggregate for a per-document decision. Now the spans are
+    * rolled up to one small array per affected doc (the only shuffle —
+    * span rows are a tiny fraction of the corpus), joined back by
+    * doc_id, and the cut is a narrow per-row expression: keep token i+1
+    * unless a span covers it. Spans are maximal and therefore disjoint
+    * per doc; docs with no spans keep every token (null-spans branch). */
   def scrubDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
-    val covered = crossDocDupSpans(docs, n).select(col("doc_id"),
-      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-    val toks = docs.select(col("doc_id"),
-        posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
-    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val spansPerDoc = crossDocDupSpans(docs, n)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok"))).as("scrubbed"))
-    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("kept"), lit(0L))).as("removed_tokens"),
-        md5(coalesce(col("scrubbed"), lit(""))).as("scrubbed_md5"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val toks = tokens(col("text"))
+    val kept = when(col("spans").isNull, toks).otherwise(
+      filter(toks, (_, i) => !exists(col("spans"), s =>
+        (i + 1).cast("long").between(s.getField("span_start"), s.getField("span_end")))))
+    docs.join(spansPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(kept)).cast("long").as("removed_tokens"),
+        md5(concat_ws(" ", kept)).as("scrubbed_md5"))
   }
 
   /** CCNet-style unigram-LM quality score: each document's mean negative

@@ -77,6 +77,17 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!semiLine.contains("BroadcastHashJoin"), s"eval side still broadcast:\n$p")
   }
 
+  test("dup_span_scrub: the cut is a narrow map — no corpus-token shuffle") {
+    // r6 shape: the only aggregate below the final join is the per-doc
+    // span roll-up; the token stream itself is never exploded or shuffled
+    // (the pre-r6 plan anti-joined every (doc_id, pos) token row)
+    val p = plan(pipeline.TextOps.scrubDupSpans(docs))
+    assert(!p.contains("posexplode(filter(split("),
+      s"token stream exploded again:\n$p")
+    assert(!p.contains("collect_list(struct(pos"),
+      s"per-token rebuild aggregate returned:\n$p")
+  }
+
   test("cross_dup_grams: partial-agg gram count, semi-join, no doc lists") {
     val p = plan(pipeline.TextOps.crossDocDupGrams(docs))
     assert(p.contains("partial"), p) // map-side combine on the gram key
