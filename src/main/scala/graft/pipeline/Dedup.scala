@@ -138,11 +138,18 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the vote sum
-    * of xxhash64(token) bits. Single projection, no shuffle, and a SINGLE
-    * pass over the token array: one hash per token, votes accumulated into
-    * a 64-wide counter array (the old per-bit unroll re-scanned the array
-    * 64× and re-hashed every token per bit). */
-  def simHash(docs: DataFrame): DataFrame = {
+    * of xxhash64(token) bits. Native codegen expression
+    * ([[graft.functions.SimHash64]]) — one hash per token and one local
+    * vote array, replacing the interpreted zip_with/aggregate fold that
+    * allocated a fresh 64-long array per token; pinned value-identical to
+    * the composition (kept below as [[simHashSpec]]) in PipelineSpec. */
+  def simHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+
+  /** The pre-r6 built-in composition of [[simHash]] — the executable spec
+    * the native expression is pinned against (PipelineSpec). */
+  private[graft] def simHashSpec(docs: DataFrame): DataFrame = {
     val hashes = transform(TextOps.tokens(col("text")), t => xxhash64(t))
     val votes = aggregate(hashes, array_repeat(lit(0L), 64), (acc, h) =>
       zip_with(acc, sequence(lit(0), lit(63)), (a, b) =>

@@ -621,6 +621,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(compiled.count() > 0)
   }
 
+  test("native simhash64 == built-in getbit/vote composition, bit-for-bit") {
+    val d = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      Seq((900L, ""), (901L, "  "), (902L, "one"), (903L, "é 漢 ß")))
+      .toDF("doc_id", "text")
+    val native = Dedup.simHash(d).as[(Long, Long)].collect().toMap
+    val spec = Dedup.simHashSpec(d).as[(Long, Long)].collect().toMap
+    assert(native == spec, s"simhash diverged")
+    // codegen path compiles on a file-scan input
+    val pd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scanBacked = Dedup.simHash(pd)
+    assert(scanBacked.queryExecution.executedPlan.toString.contains("simhash64"))
+    assert(scanBacked.count() == pd.count())
+  }
+
   test("quality filter reports the first failed rule; source mix shares sum to 1") {
     val d = Seq(
       (1L, "too short", "en", "s0"),
