@@ -48,6 +48,32 @@ case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native codegen whitespace tokenizer — the n=1 special case of
+  * [[WordGrams]] kept as its own expression so its type matches the
+  * `filter(split(text, " "), t -> t <> '')` composition it replaces
+  * exactly: containsNull = false (split emits non-null elements, filter
+  * keeps them), null text → null (no coalesce wrapper — consumers like
+  * `size(tokens)` rely on null propagation). */
+case class WsTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ws_tokens needs string, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ws_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    WordGrams.gramsOf(input.asInstanceOf[UTF8String], 1)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordGrams.gramsOf($c, 1)")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokens =
+    copy(child = newChild)
+}
+
 object WordGrams {
 
   private val Empty = new GenericArrayData(Array.empty[Any])
@@ -96,6 +122,11 @@ object WordGrams {
     }
     new GenericArrayData(out)
   }
+
+  /** Column wrapper for [[WsTokens]]. */
+  def wsTokens(text: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      WsTokens(org.apache.spark.sql.GraftExpressionBridge.expression(text)))
 
   /** Column wrapper, `graft.functions` style. The `coalesce` preserves the
     * built-in composition's null behavior (null text → empty array, via

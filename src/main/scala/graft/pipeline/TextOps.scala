@@ -13,8 +13,15 @@ import graft.analysis.Filters
 object TextOps {
 
   /** Whitespace tokens with empties dropped (mirrors WhitespaceAnalyzer for
-    * single-spaced corpora — the SQL-oracle-friendly tokenizer). */
+    * single-spaced corpora — the SQL-oracle-friendly tokenizer). Native
+    * codegen expression (r6, [[graft.functions.WsTokens]]); the built-in
+    * composition stays as [[tokensSpec]], pinned identical in
+    * PipelineSpec (same values, null text → null, containsNull=false). */
   def tokens(text: Column): Column =
+    graft.functions.WordGrams.wsTokens(text)
+
+  /** The pre-r6 built-in composition of [[tokens]]. */
+  private[graft] def tokensSpec(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
   val stopArray: Column = array(Filters.EnglishStopWords.toSeq.sorted.map(lit): _*)

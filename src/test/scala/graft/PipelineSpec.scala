@@ -557,11 +557,28 @@ class PipelineSpec extends AnyFunSuite {
     val nSpec = nd.select(TextOps.wordGramsSpec(col("text"), 2).as("g"))
       .as[Seq[String]].collect().toSeq
     assert(nNative == nSpec, s"null-text behavior diverged: $nNative vs $nSpec")
+    // ws_tokens: identical values to the filter(split) composition, same
+    // null propagation (null text -> null array, NOT empty)
+    val tokBoth = nd.select(TextOps.tokens(col("text")).as("n"),
+      TextOps.tokensSpec(col("text")).as("s")).collect()
+    tokBoth.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"tokens null divergence: $r")
+      if (!r.isNullAt(0)) assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    for (n2 <- Seq(1, 2)) {
+      val a = d.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .as[(Long, Seq[String])].collect().toMap
+      val s = d.select(col("doc_id"), TextOps.tokensSpec(col("text")).as("t"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(a == s, s"tokens diverged from spec")
+    }
     // the whole-stage-codegen path actually compiles the expression
     // (file-scan input, as in the minhash_signature test above)
     val pd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val scanBacked = pd.select(TextOps.wordGrams(col("text"), 8).as("g"))
+    val scanBacked = pd.select(TextOps.wordGrams(col("text"), 8).as("g"),
+      TextOps.tokens(col("text")).as("t"))
     assert(scanBacked.queryExecution.executedPlan.toString.contains("word_grams"))
+    assert(scanBacked.queryExecution.executedPlan.toString.contains("ws_tokens"))
     assert(scanBacked.count() == pd.count())
   }
 
