@@ -394,6 +394,11 @@ object Ann {
       dim: Int = 64, m: Int = 16, codewords: Int = 32, refine: Int = 8,
       trained: Option[Array[Array[Array[Double]]]] = None,
       coded: Option[DataFrame] = None): DataFrame = {
+    // contract: pre-encoded codes are only meaningful under the codebooks
+    // that produced them — retraining here would silently score foreign
+    // codes with mismatched ADC LUTs
+    require(coded.isEmpty || trained.nonEmpty,
+      "pqTopK: coded requires the codebooks that encoded it (pass trained)")
     val spark = embeddings.sparkSession
     val books = trained.getOrElse(trainPq(embeddings, m, codewords, dim = dim))
     val d0 = dim / m
@@ -424,6 +429,10 @@ object Ann {
       trainedIvf: Option[Array[Array[Double]]] = None,
       trainedPq: Option[Array[Array[Array[Double]]]] = None,
       precoded: Option[DataFrame] = None): DataFrame = {
+    // same contract as [[pqTopK]]: precoded rows carry cluster ids AND pq
+    // codes, so both quantizers must be the ones that encoded them
+    require(precoded.isEmpty || (trainedIvf.nonEmpty && trainedPq.nonEmpty),
+      "ivfPqTopK: precoded requires the centroids+codebooks that encoded it")
     val spark = embeddings.sparkSession
     val centroids = trainedIvf.getOrElse(trainIvf(embeddings, clusters))
     val books = trainedPq.getOrElse(trainPq(embeddings, m, codewords, dim = dim))

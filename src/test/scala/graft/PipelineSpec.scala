@@ -149,6 +149,18 @@ class PipelineSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivfpq == brute, s"IVF-PQ missed planted neighbors: $ivfpq")
 
+    // coded/trained contract: pre-encoded codes without the codebooks that
+    // produced them must fail loudly, never silently retrain and mis-score
+    val books = Ann.trainPq(emb, m = 4, codewords = 8, dim = 16)
+    val codes = Ann.encodePq(emb, books, dim = 16)
+    intercept[IllegalArgumentException] {
+      Ann.pqTopK(emb, q, k = 1, dim = 16, m = 4, codewords = 8, coded = Some(codes))
+    }
+    intercept[IllegalArgumentException] {
+      Ann.ivfPqTopK(emb, q, k = 1, dim = 16, clusters = 8, m = 4, codewords = 8,
+        precoded = Some(codes))
+    }
+
     // embedding near-dup pairs: every planted copy pairs with its base at
     // cos >= 0.95, and nothing else does
     val pairs = Dedup.embeddingPairs(emb, minCos = 0.95, dim = 16, bits = 6, tables = 8)
