@@ -246,8 +246,12 @@ object Ann {
 
   /** Per-subspace code assignment: argmin over the codebook of the L2
     * distance to the subvector — computed as ‖c‖² − 2·dot(x,c) (the ‖x‖²
-    * term is constant per row, so it can't change the argmin). Codegen'd
-    * expression over literal codeword arrays, like [[assignExpr]]. */
+    * term is constant per row, so it can't change the argmin). This is the
+    * pre-r6 HOF composition, retained ONLY as the executable spec
+    * [[pqCodeSpec]] is built from (PipelineSpec pins the native
+    * [[graft.functions.PqCode]] bit-identical to it): the zip_with +
+    * aggregate chains evaluate interpreted, and at m×codewords chains per
+    * row they were the dominant cost of the encode-once corpus pass. */
   private def assignSubExpr(book: Array[Array[Double]], sub: Column): Column = {
     val scores = array(book.map { c =>
       val dot = aggregate(zip_with(sub, typedLit(c.toSeq),
@@ -280,12 +284,17 @@ object Ann {
     while (it < iters) {
       // ALL subspaces update in ONE job per iteration: explode per-subspace
       // (s, code, subvector) structs, then a single (s, code, pos) mean —
-      // Lloyd cost stays iters jobs, not iters × m
+      // Lloyd cost stays iters jobs, not iters × m. Codes come from ONE
+      // native pq_code pass per row, projected to a column so the m
+      // element_at uses share a single evaluation (pinned identical to
+      // the per-subspace assignSubExpr composition in PipelineSpec).
       val perSub = (0 until m).map { s =>
         val sub = slice(col("embedding"), s * d0 + 1, d0)
-        struct(lit(s).as("s"), assignSubExpr(books(s), sub).as("code"), sub.as("v"))
+        struct(lit(s).as("s"), element_at(col("__pq_codes"), s + 1).as("code"),
+          sub.as("v"))
       }
-      val means = train.select(explode(array(perSub: _*)).as("e"))
+      val means = train.withColumn("__pq_codes", pqCodeExpr(books, d0))
+        .select(explode(array(perSub: _*)).as("e"))
         .select(col("e.s").as("s"), col("e.code").as("code"),
           posexplode(col("e.v")).as(Seq("pos", "x")))
         .groupBy("s", "code", "pos").agg(avg(col("x").cast("double")).as("mean"))
@@ -299,8 +308,19 @@ object Ann {
   }
 
   /** PQ code array (m small ints) for each vector — the 100 TB-resident
-    * compact index: m bytes/vector at codewords ≤ 256 versus dim floats. */
+    * compact index: m bytes/vector at codewords ≤ 256 versus dim floats.
+    * Native codegen expression ([[graft.functions.PqCode]]): one generated
+    * pass over the vector instead of m × codewords interpreted
+    * zip_with/aggregate folds (~1.2 ms/row at m=16, cw=32 — measured via
+    * graft.tools.ProbeEncode); pinned value-identical to [[pqCodeSpec]]
+    * (same fold order, same null/tie semantics) in PipelineSpec. */
   private[graft] def pqCodeExpr(books: Array[Array[Array[Double]]], d0: Int): Column =
+    graft.functions.VectorOps.pqCode(col("embedding"),
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** The pre-r6 built-in composition of [[pqCodeExpr]] — the executable
+    * spec the native expression is pinned against (PipelineSpec). */
+  private[graft] def pqCodeSpec(books: Array[Array[Array[Double]]], d0: Int): Column =
     array(books.indices.map { s =>
       assignSubExpr(books(s), slice(col("embedding"), s * d0 + 1, d0))
     }: _*)

@@ -664,6 +664,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(scanBacked.count() == pd.count())
   }
 
+  test("native pq_code == built-in slice/zip_with argmin composition") {
+    val rnd = new scala.util.Random(11)
+    def books(m: Int, cw: Int, d0: Int): Array[Array[Array[Double]]] =
+      Array.fill(m, cw, d0)(rnd.nextGaussian())
+
+    // regular vectors + every irregular shape the slice/zip_with fold
+    // nulls out: short (one partial subspace), very short, empty, null
+    // array, null element mid-vector
+    val regular = (0 until 40).map(i => (i.toLong,
+      Seq.fill[Option[Float]](64)(Some(rnd.nextGaussian().toFloat))))
+    val irregular = Seq(
+      (100L, Seq.fill[Option[Float]](63)(Some(0.5f))),
+      (101L, Seq.fill[Option[Float]](3)(Some(1.0f))),
+      (102L, Seq.empty[Option[Float]]),
+      (103L, null.asInstanceOf[Seq[Option[Float]]]),
+      (104L, Seq.tabulate[Option[Float]](64)(i => if (i == 17) None else Some(0.3f))))
+    val vdf = (regular ++ irregular).toDF("vec_id", "embedding")
+
+    // duplicate codewords force exact score ties — both sides must pick
+    // the FIRST minimal codeword
+    val tied = books(16, 8, 4)
+    tied.foreach(b => b(5) = b(2).clone())
+
+    Seq(books(16, 32, 4), books(8, 16, 8), tied).foreach { bs =>
+      val d0 = bs(0)(0).length
+      val both = vdf.select(Ann.pqCodeExpr(bs, d0).as("n"), Ann.pqCodeSpec(bs, d0).as("s"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+          s"pq_code diverged (m=${bs.length}, d0=$d0): ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}")
+      }
+    }
+
+    // whole-stage-codegen path compiles on a file-scan input and matches
+    // the interpreted spec there too
+    val pe = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bs = books(16, 32, 4)
+    val scanBacked = pe.select(Ann.pqCodeExpr(bs, 4).as("n"), Ann.pqCodeSpec(bs, 4).as("s"))
+    assert(scanBacked.queryExecution.executedPlan.toString.contains("pq_code"))
+    scanBacked.collect().foreach(r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)))
+  }
+
   test("quality filter reports the first failed rule; source mix shares sum to 1") {
     val d = Seq(
       (1L, "too short", "en", "s0"),
