@@ -486,36 +486,54 @@ object TextOps {
     * generation tractable when full gram inversion
     * ([[crossDocDupGrams]]) is too expensive.
     *
-    * Shape at 100 TB: selection happens INSIDE one Catalyst array
-    * expression per document — transform over window starts with an
-    * aggregate-fold argmin per window — a narrow map with no explode, no
-    * per-gram shuffle and no window-function sort; only the selected
-    * ~2/(w+1) fraction survives to the explode. md5 is the gram hash, so
-    * hash order (lowercase-hex lexicographic) and therefore the selected
-    * set are bit-identical in the DuckDB twin. Returns distinct
-    * (doc_id, fp) rows; docs shorter than k+w-1 tokens emit none. */
-  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    * Shape at 100 TB: selection happens INSIDE one native codegen
+    * expression per document ([[graft.functions.WinnowFps]]: tokenize →
+    * gram → md5 → rightmost-min windows → distinct, one pass over the
+    * bytes) — a narrow map with no explode, no per-gram shuffle and no
+    * window-function sort; only the selected ~2/(w+1) fraction survives
+    * to the explode. md5 is the gram hash, so hash order (lowercase-hex
+    * lexicographic) and therefore the selected set are bit-identical in
+    * the DuckDB twin. The pre-r6 HOF composition — which evaluated
+    * interpreted, one boxed md5 lambda per gram plus an O(windows·w)
+    * boxed argmin fold — is retained as [[winnowFingerprintsSpec]] and
+    * the native expression is pinned value- and order-identical to it in
+    * PipelineSpec. Returns distinct (doc_id, fp) rows; docs shorter than
+    * k+w-1 tokens emit none. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.WinnowFps.winnowFps(col("text"), k, w)).as("fp"))
+
+  /** The pre-r6 built-in composition of [[winnowFingerprints]] — the
+    * executable spec the native expression is pinned against
+    * (PipelineSpec). [[winnowFpArrSpec]] exposes the pre-explode array so
+    * the pin covers element ORDER, not just the exploded rowset. */
+  private[graft] def winnowFingerprintsSpec(docs: DataFrame, k: Int = 4,
+      w: Int = 4): DataFrame = {
     // the gram-hash array materializes ONCE per doc in its OWN projection:
     // the selection below reads it with one element_at per window probe,
     // and higher-order functions evaluate interpreted with no cross-lambda
     // CSE — inlined, every probe would re-run the whole tokenize→gram→md5
     // pipeline (observed: O(tokens·windows·w) re-splits, ~1000× slower).
     // CollapseProject keeps a non-cheap multi-referenced alias in its own
-    // projection; the spec pins md5 appearing once in the optimized plan.
+    // projection.
     val hashed = docs.select(col("doc_id"),
       transform(wordGrams(col("text"), k), g => md5(g)).as("hs"))
-    val hs = col("hs")
-    // rightmost argmin over each full window of w consecutive hashes:
-    // fold positions p..p+w-1 keeping the later position on <= (ties go
-    // right, per the paper's rule — both engines compare the same hex)
+    hashed.select(col("doc_id"),
+      explode(winnowFpArrSpec(col("hs"), w)).as("fp"))
+  }
+
+  /** Spec selection over a materialized gram-hash array column: rightmost
+    * argmin over each full window of w consecutive hashes — fold positions
+    * p..p+w-1 keeping the later position on <= (ties go right, per the
+    * paper's rule — both engines compare the same hex). */
+  private[graft] def winnowFpArrSpec(hs: Column, w: Int): Column = {
     val selPos = when(size(hs) >= w,
       array_distinct(transform(sequence(lit(1), size(hs) - lit(w - 1)), p =>
         aggregate(sequence(p, p + lit(w - 1)), p,
           (best, q) => when(element_at(hs, q) <= element_at(hs, best), q)
             .otherwise(best)))))
       .otherwise(array().cast("array<int>"))
-    hashed.select(col("doc_id"),
-      explode(array_distinct(transform(selPos, p => element_at(hs, p)))).as("fp"))
+    array_distinct(transform(selPos, p => element_at(hs, p)))
   }
 
   /** Near-duplicate candidate pairs over winnowing fingerprints: document

@@ -253,19 +253,52 @@ class PipelineSpec extends AnyFunSuite {
     val fpPlan = TextOps.winnowFingerprints(docs).queryExecution.executedPlan.toString
     assert(!fpPlan.contains("Exchange"),
       s"winnowFingerprints must be shuffle-free:\n$fpPlan")
-    // and the gram-hash pipeline must stay materialized in its own
-    // projection: if CollapseProject ever inlines it, every one of the
-    // O(windows·w) element_at probes re-tokenizes the document (observed
-    // ~1000× slowdown) — md5 appearing exactly once in the optimized plan
-    // pins the hash array as compute-once. A LocalRelation input would
-    // constant-fold the whole projection away, so pin it on a Range-backed
-    // frame (the shape a parquet scan produces).
+    // and the whole tokenize→gram→md5→select pipeline must run as the
+    // single native expression (r6): no interpreted md5 transform or
+    // element_at probe chain may reappear in the optimized plan. A
+    // LocalRelation input would constant-fold the whole projection away,
+    // so pin it on a Range-backed frame (the shape a parquet scan
+    // produces).
     val ranged = spark.range(3).select(col("id").as("doc_id"),
       concat_ws(" ", (0 until 12).map(j => concat(lit("w"), col("id"), lit(s"_$j"))): _*)
         .as("text"))
     val opt = TextOps.winnowFingerprints(ranged).queryExecution.optimizedPlan.toString
-    assert("md5".r.findAllIn(opt).size == 1,
-      s"gram hashes must be computed once, not inlined per probe:\n$opt")
+    assert(opt.contains("winnow_fps") && !opt.contains("md5"),
+      s"fingerprint selection must be the single native expression:\n$opt")
+  }
+
+  test("native winnow_fps == built-in md5/argmin-fold composition, order included") {
+    // edge shapes: empty, blank, shorter than k, exactly k tokens (one
+    // gram, < w windows), exactly k+w-1 tokens (one full window), heavy
+    // repetition (value-level dedup + rightmost ties), multi-space runs,
+    // multi-byte text, null text
+    val rep = ("dup " * 30).trim
+    val d = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ Seq(
+      (900L, ""), (901L, "   "), (902L, "a b c"), (903L, "a b c d"),
+      (904L, "a b c d e f g"), (905L, rep), (906L, "x  y   z    w  v u t"),
+      (907L, "é 漢 ß µ ø 日 本 語"), (908L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    for ((k, w) <- Seq((4, 4), (3, 2), (2, 5), (1, 1))) {
+      val both = d.select(col("doc_id"),
+        graft.functions.WinnowFps.winnowFps(col("text"), k, w).as("n"),
+        TextOps.winnowFpArrSpec(
+          transform(TextOps.wordGrams(col("text"), k), g => md5(g)), w).as("s"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"winnow diverged (k=$k, w=$w, doc=${r.getLong(0)}): " +
+            s"${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+      }
+    }
+    // whole-stage-codegen path compiles on a file-scan input and matches
+    val pd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scanBacked = pd.select(col("doc_id"),
+      graft.functions.WinnowFps.winnowFps(col("text"), 4, 4).as("n"),
+      TextOps.winnowFpArrSpec(
+        transform(TextOps.wordGrams(col("text"), 4), g => md5(g)), 4).as("s"))
+    assert(scanBacked.queryExecution.executedPlan.toString.contains("winnow_fps"))
+    scanBacked.collect().foreach(r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"diverged: $r"))
   }
 
   test("hot-bucket caps use aggregation, not a Window sort") {
