@@ -58,8 +58,15 @@ object TextOps {
     val toks = tokens(col("text"))
     val n = size(toks)
     val distinctRatio = when(n > 0, size(array_distinct(toks)).cast("double") / n).otherwise(0.0)
+    // Σ token lengths == count of non-space characters (tokens split on
+    // 0x20, empties dropped — every non-space char is in exactly one
+    // token), and an integer sum is order-free, so this equals the
+    // previous interpreted `aggregate(toks, 0L, acc + length(t))` fold
+    // exactly while staying in whole-stage codegen (pinned in
+    // PipelineSpec).
     val meanLen = when(n > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n).otherwise(0.0)
+      length(translate(col("text"), " ", ""))
+        .cast("long").cast("double") / n).otherwise(0.0)
     val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
     val punctRatio = when(length(col("text")) > 0,
       punct.cast("double") / length(col("text"))).otherwise(0.0)

@@ -739,6 +739,24 @@ class PipelineSpec extends AnyFunSuite {
     scanBacked.collect().foreach(r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)))
   }
 
+  test("quality mean_token_len: translate-based count == interpreted fold") {
+    val d = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ Seq(
+      (900L, ""), (901L, "   "), (902L, " padded  twice "), (903L, "é 漢漢 ßµø"),
+      (904L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks)
+    val specMean = when(n > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+      .otherwise(0.0)
+    val got = TextOps.qualityScore(d).select(col("doc_id"), col("mean_token_len"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    d.select(col("doc_id"), round(specMean, 4).as("m")).collect().foreach { r =>
+      assert(got(r.getLong(0)) == r.getDouble(1),
+        s"mean_token_len diverged for doc ${r.getLong(0)}")
+    }
+  }
+
   test("quality filter reports the first failed rule; source mix shares sum to 1") {
     val d = Seq(
       (1L, "too short", "en", "s0"),
